@@ -1,0 +1,2 @@
+"""VibeVoice-TPU: TPU-native long-form multi-speaker TTS framework."""
+__version__ = "0.1.0"

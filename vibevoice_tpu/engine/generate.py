@@ -1,0 +1,468 @@
+"""Fused generation engine.
+
+Re-designs the reference's Python-driven AR loop
+(`vibevoice/modular/modeling_vibevoice_inference.py:328-725`) as ONE jitted
+decode superstep per 7.5 Hz frame, with donated state:
+
+  LM step -> constrained token select -> per-sample flag updates ->
+  CFG negative-stream step -> diffusion `lax.scan` -> streaming vocoder
+  chunk -> semantic re-encode -> next input embeds
+
+Key re-designs vs the reference:
+  * The CFG negative context is a second preallocated KV cache with
+    PER-SAMPLE write pointers + visibility masks.  The reference's fragile
+    Python cache-shift bookkeeping for non-diffusing samples (:609-639) and
+    the speech_start negative reset (:563-580) become O(1) masked pointer
+    updates with identical semantics.
+  * Tokenizer streaming caches (dict-of-tensors, :193-256) are fixed-shape
+    conv state pytrees living inside the jit.
+  * Audio is accumulated on-device in a preallocated `[B, max_frames*hop]`
+    buffer via per-sample dynamic writes; streaming mode fetches per-step
+    chunks to feed `AudioStreamer`.
+
+A multi-step `lax.scan` fast path (`decode_chunk`) amortizes dispatch
+overhead when no streaming consumer needs per-step chunks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..configs import VibeVoiceConfig
+from ..models import connectors, qwen2, tokenizer, vibevoice
+from ..schedule import dpm_solver as ds
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    """Static generation parameters (hashable -> closed over by jit)."""
+    speech_start_id: int
+    speech_end_id: int
+    speech_diffusion_id: int
+    eos_id: int
+    bos_id: Optional[int] = None
+    cfg_scale: float = 1.3
+    ddpm_steps: int = 10
+    max_new_tokens: int = 128
+    max_length_times: float = 2.0
+    do_sample: bool = False
+
+
+class StepOutput(NamedTuple):
+    token: jnp.ndarray       # [B] int32
+    audio_chunk: jnp.ndarray  # [B, hop] fp32 (valid where emitted)
+    emitted: jnp.ndarray     # [B] bool — diffusion frame emitted this step
+    finished: jnp.ndarray    # [B] bool
+
+
+class GenState(NamedTuple):
+    # positive stream
+    pos_cache: qwen2.KVCache
+    pos_visible: jnp.ndarray    # [B, S] int32
+    write_pos: jnp.ndarray      # scalar int32
+    pos_positions: jnp.ndarray  # [B] int32 next rope position
+    # negative (CFG) stream
+    neg_cache: qwen2.KVCache
+    neg_visible: jnp.ndarray    # [B, Sn] int32
+    neg_ptr: jnp.ndarray        # [B] int32 next write slot
+    neg_positions: jnp.ndarray  # [B] int32 next rope position
+    # loop state
+    cur_embeds: jnp.ndarray     # [B, H] next LM input
+    finished: jnp.ndarray       # [B] bool
+    reach_max: jnp.ndarray      # [B] bool
+    step: jnp.ndarray           # scalar int32 (decode steps completed)
+    max_step_per_sample: jnp.ndarray  # [B] int32
+    # audio path
+    acoustic_state: Any
+    semantic_state: Any
+    frames: jnp.ndarray         # [B] int32 emitted frame count
+    audio: jnp.ndarray          # [B, max_frames*hop] fp32
+    # bookkeeping
+    tokens: jnp.ndarray         # [B, max_steps] int32 generated tokens
+    rng: jnp.ndarray
+
+
+def _token_bias(vocab: int, gen: GenerationConfig) -> np.ndarray:
+    """Additive mask allowing only control tokens
+    (ref VibeVoiceTokenConstraintProcessor :54-67, valid set :405-413)."""
+    bias = np.full((vocab,), -np.inf, np.float32)
+    ids = [gen.speech_start_id, gen.speech_end_id, gen.speech_diffusion_id, gen.eos_id]
+    if gen.bos_id is not None:
+        ids.append(gen.bos_id)
+    bias[ids] = 0.0
+    return bias
+
+
+def _onehot(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    return (jnp.arange(n)[None, :] == idx[:, None]).astype(jnp.int32)
+
+
+class Engine:
+    """Holds params + compiled prefill/step functions for one model/config."""
+
+    def __init__(self, params: Params, cfg: VibeVoiceConfig, gen: GenerationConfig,
+                 max_steps: int, batch: int, prompt_len: int,
+                 dtype=jnp.float32):
+        self.params = params
+        self.cfg = cfg
+        self.gen = gen
+        self.hop = cfg.speech_compress_ratio
+        self.max_steps = max_steps
+        self.batch = batch
+        self.prompt_len = prompt_len
+        self.cache_len = prompt_len + max_steps
+        self.neg_cache_len = max_steps + 1
+        self.dtype = dtype
+
+        self.solver_cfg = ds.SolverConfig(
+            num_train_timesteps=cfg.diffusion_head.ddpm_num_steps,
+            beta_schedule=cfg.diffusion_head.ddpm_beta_schedule,
+            prediction_type=cfg.diffusion_head.prediction_type,
+        )
+        self.tables = ds.make_tables(self.solver_cfg)
+        self.sched = ds.set_timesteps(self.solver_cfg, self.tables, gen.ddpm_steps)
+        self.token_bias = jnp.asarray(_token_bias(cfg.decoder.vocab_size, gen))
+
+        self._prefill = jax.jit(self._prefill_impl)
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._chunk = jax.jit(self._chunk_impl, donate_argnums=(0,), static_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    def _post_lm(self, state: GenState, h_t: jnp.ndarray,
+                 h_neg_prefill: Optional[jnp.ndarray] = None) -> Tuple[GenState, StepOutput]:
+        """Everything after the positive LM forward for one step.
+
+        `h_t` [B, H] is the hidden at the current position; `h_neg_prefill`
+        supplies the negative condition at step 0 (hidden of the bare
+        speech_start context) before any negative decode has run.
+        """
+        p, cfg, gen = self.params, self.cfg, self.gen
+        b = h_t.shape[0]
+        hop = self.hop
+
+        logits = vibevoice.lm_logits(p, cfg, h_t).astype(jnp.float32) + self.token_bias
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(state.finished, gen.eos_id, next_tok)
+
+        finished = state.finished | (next_tok == gen.eos_id)
+        max_hit = (state.step >= state.max_step_per_sample) & ~finished
+        finished = finished | max_hit
+        reach_max = state.reach_max | max_hit
+
+        is_diff = (~finished) & (next_tok == gen.speech_diffusion_id)
+        any_diff = jnp.any(is_diff)
+        is_end = next_tok == gen.speech_end_id
+        is_start = (~finished) & (next_tok == gen.speech_start_id)
+
+        # speech_end: zero tokenizer streaming caches (ref :556-560)
+        acoustic_state = tokenizer.state_reset_where(state.acoustic_state, is_end)
+        semantic_state = tokenizer.state_reset_where(state.semantic_state, is_end)
+
+        # speech_start: reset negative context to the bare speech_start kv
+        # (ref :563-580 — overwrite last slot with slot-0 kv, visibility = that slot)
+        slot_r = jnp.maximum(state.neg_ptr - 1, 0)
+        barange = jnp.arange(b)
+        nk, nv = state.neg_cache.k, state.neg_cache.v
+        cur_k = nk[:, barange, slot_r]          # [L, B, KVH, D]
+        cur_v = nv[:, barange, slot_r]
+        m = is_start[None, :, None, None]
+        nk = nk.at[:, barange, slot_r].set(jnp.where(m, nk[:, :, 0], cur_k))
+        nv = nv.at[:, barange, slot_r].set(jnp.where(m, nv[:, :, 0], cur_v))
+        neg_cache = qwen2.KVCache(k=nk, v=nv)
+        neg_visible = jnp.where(is_start[:, None], _onehot(slot_r, state.neg_visible.shape[1]),
+                                state.neg_visible)
+
+        # ---- negative stream forward + diffusion (only when needed) ----
+        rng, k_noise = jax.random.split(state.rng)
+
+        def diffusion_branch(op):
+            neg_cache, neg_visible, acoustic_state, semantic_state = op
+            if h_neg_prefill is None:
+                vis_step = jnp.minimum(neg_visible + _onehot(state.neg_ptr, neg_visible.shape[1]), 1)
+                h_n, neg_cache2 = qwen2.forward(
+                    p["lm"], cfg.decoder, state.cur_embeds[:, None, :],
+                    state.neg_positions[:, None], qwen2.decode_bias(vis_step),
+                    cache=neg_cache, write_pos=state.neg_ptr)
+                h_neg = h_n[:, 0]
+                neg_visible2 = jnp.where(is_diff[:, None], vis_step, neg_visible)
+            else:
+                # step 0: the negative condition is the bare speech_start
+                # hidden computed during prefill (ref first diffusion step
+                # forwards negative_input_ids=[speech_start])
+                h_neg = h_neg_prefill
+                neg_cache2 = neg_cache
+                neg_visible2 = neg_visible
+
+            x_init = jax.random.normal(k_noise, (b, cfg.acoustic_vae_dim), h_t.dtype)
+            latent = vibevoice.sample_speech_latents(
+                p, cfg, self.solver_cfg, self.sched, h_t, h_neg, gen.cfg_scale, x_init)
+            scaled = vibevoice.unscale_latents(p, latent)
+            chunk, ac_state2 = tokenizer.decoder_apply_streaming(
+                p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :], acoustic_state)
+            sem, sem_state2 = tokenizer.encoder_apply_streaming(
+                p["semantic_encoder"], cfg.semantic_tokenizer, chunk, semantic_state)
+            ac_embed = connectors.apply(p["acoustic_connector"], latent)
+            sem_embed = connectors.apply(p["semantic_connector"], sem[:, 0])
+            diff_embeds = ac_embed + sem_embed
+            return (neg_cache2, neg_visible2, ac_state2, sem_state2,
+                    h_neg, chunk[:, :, 0], diff_embeds)
+
+        def skip_branch(op):
+            neg_cache, neg_visible, acoustic_state, semantic_state = op
+            return (neg_cache, neg_visible, acoustic_state, semantic_state,
+                    jnp.zeros_like(h_t), jnp.zeros((b, hop), h_t.dtype),
+                    jnp.zeros((b, cfg.decoder.hidden_size), h_t.dtype))
+
+        (neg_cache, neg_visible_new, ac_state_new, sem_state_new,
+         _h_neg, chunk, diff_embeds) = lax.cond(
+            any_diff, diffusion_branch, skip_branch,
+            (neg_cache, neg_visible, acoustic_state, semantic_state))
+
+        # merge per-sample: diffusion samples take the new streaming states
+        def sel(new, old):
+            mask = is_diff.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        acoustic_state = jax.tree_util.tree_map(sel, ac_state_new, acoustic_state)
+        semantic_state = jax.tree_util.tree_map(sel, sem_state_new, semantic_state)
+        neg_visible = jnp.where(is_diff[:, None], neg_visible_new, neg_visible)
+        neg_ptr = jnp.where(is_diff & (h_neg_prefill is None), state.neg_ptr + 1, state.neg_ptr)
+        neg_positions = jnp.where(is_diff & (h_neg_prefill is None),
+                                  state.neg_positions + 1, state.neg_positions)
+
+        # audio write at per-sample frame offsets
+        def wr(buf, ch, start, emit):
+            cur = lax.dynamic_slice(buf, (start,), (hop,))
+            return lax.dynamic_update_slice(buf, jnp.where(emit, ch, cur), (start,))
+
+        audio = jax.vmap(wr)(state.audio, chunk.astype(state.audio.dtype),
+                             state.frames * hop, is_diff)
+        frames = state.frames + is_diff.astype(jnp.int32)
+
+        # next input embeds (ref :582-690)
+        tok_embeds = p["lm"]["embed"][next_tok].astype(h_t.dtype)
+        cur_embeds = jnp.where(is_diff[:, None], diff_embeds, tok_embeds)
+
+        tokens = state.tokens.at[:, state.step].set(next_tok)
+
+        new_state = GenState(
+            pos_cache=state.pos_cache, pos_visible=state.pos_visible,
+            write_pos=state.write_pos, pos_positions=state.pos_positions,
+            neg_cache=neg_cache, neg_visible=neg_visible, neg_ptr=neg_ptr,
+            neg_positions=neg_positions,
+            cur_embeds=cur_embeds, finished=finished, reach_max=reach_max,
+            step=state.step + 1, max_step_per_sample=state.max_step_per_sample,
+            acoustic_state=acoustic_state, semantic_state=semantic_state,
+            frames=frames, audio=audio, tokens=tokens, rng=rng,
+        )
+        return new_state, StepOutput(token=next_tok, audio_chunk=chunk,
+                                     emitted=is_diff, finished=finished)
+
+    # ------------------------------------------------------------------
+    def _prefill_impl(self, params: Params, input_ids: jnp.ndarray,
+                      attention_mask: jnp.ndarray, speech_input_mask: jnp.ndarray,
+                      speech_tensors: Optional[jnp.ndarray],
+                      speech_frame_masks: Optional[jnp.ndarray],
+                      rng: jnp.ndarray,
+                      voice_latents: Optional[jnp.ndarray] = None,
+                      ) -> Tuple[GenState, StepOutput]:
+        """Process the prompt, build caches, and execute step 0."""
+        p, cfg, gen = params, self.cfg, self.gen
+        self.params = p  # jit passes params explicitly; keep view coherent
+        b, t0 = input_ids.shape
+        dec = cfg.decoder
+        h_dim = dec.hidden_size
+
+        rng, k_vae = jax.random.split(rng)
+        embeds = p["lm"]["embed"][input_ids]
+        if speech_tensors is not None or voice_latents is not None:
+            if voice_latents is None:
+                latents = vibevoice.encode_voice_prompts(p, cfg, k_vae, speech_tensors)
+            else:
+                latents = voice_latents  # injected (tests / precomputed)
+            features = vibevoice.scale_latents(p, latents)
+            connected = connectors.apply(p["acoustic_connector"], features)
+            flat = connected.reshape(-1, h_dim)
+            valid = speech_frame_masks.reshape(-1)
+            order = jnp.argsort(~valid, stable=True)
+            embeds = vibevoice.splice_speech_embeds(embeds, flat[order], speech_input_mask)
+
+        # positive prefill into the static cache
+        cache = qwen2.kv_cache_init(dec, b, self.cache_len, self.dtype)
+        bias_t0 = qwen2.causal_bias(attention_mask, t0)
+        bias = jnp.full((b, 1, t0, self.cache_len), -1e9, jnp.float32)
+        bias = bias.at[:, :, :, :t0].set(bias_t0)
+        pos = qwen2.positions_from_mask(attention_mask)
+        hidden, cache = qwen2.forward(p["lm"], dec, embeds, pos, bias,
+                                      cache=cache, write_pos=jnp.int32(0))
+        h_last = hidden[:, -1]
+
+        pos_visible = jnp.zeros((b, self.cache_len), jnp.int32).at[:, :t0].set(attention_mask)
+        init_len = attention_mask.sum(axis=-1)
+
+        # negative prefill: bare speech_start context (ref :378-385)
+        neg_cache = qwen2.kv_cache_init(dec, b, self.neg_cache_len, self.dtype)
+        ss_embed = p["lm"]["embed"][jnp.full((b, 1), gen.speech_start_id, jnp.int32)]
+        neg_bias = jnp.full((b, 1, 1, self.neg_cache_len), -1e9, jnp.float32)
+        neg_bias = neg_bias.at[:, :, :, 0].set(0.0)
+        h_neg0, neg_cache = qwen2.forward(p["lm"], dec, ss_embed,
+                                          jnp.zeros((b, 1), jnp.int32), neg_bias,
+                                          cache=neg_cache, write_pos=jnp.int32(0))
+
+        max_steps_ps = jnp.minimum(
+            jnp.int32(self.max_steps),
+            (gen.max_length_times * init_len).astype(jnp.int32))
+
+        state = GenState(
+            pos_cache=cache, pos_visible=pos_visible,
+            write_pos=jnp.int32(t0), pos_positions=init_len.astype(jnp.int32),
+            neg_cache=neg_cache,
+            neg_visible=jnp.zeros((b, self.neg_cache_len), jnp.int32).at[:, 0].set(1),
+            neg_ptr=jnp.ones((b,), jnp.int32),
+            neg_positions=jnp.ones((b,), jnp.int32),
+            cur_embeds=jnp.zeros((b, h_dim), self.dtype),
+            finished=jnp.zeros((b,), bool),
+            reach_max=jnp.zeros((b,), bool),
+            step=jnp.int32(0), max_step_per_sample=max_steps_ps,
+            acoustic_state=tokenizer.decoder_state_init(cfg.acoustic_tokenizer, b, self.dtype),
+            semantic_state=tokenizer.encoder_state_init(cfg.semantic_tokenizer, b, self.dtype),
+            frames=jnp.zeros((b,), jnp.int32),
+            audio=jnp.zeros((b, self.max_steps * self.hop), jnp.float32),
+            tokens=jnp.zeros((b, self.max_steps), jnp.int32),
+            rng=rng,
+        )
+        return self._post_lm(state, h_last, h_neg_prefill=h_neg0[:, 0])
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, state: GenState) -> Tuple[GenState, StepOutput]:
+        p, cfg = self.params, self.cfg
+        vis_step = jnp.minimum(
+            state.pos_visible + _onehot(jnp.full((self.batch,), 1, jnp.int32) * 0 + state.write_pos,
+                                        self.cache_len), 1)
+        hidden, cache = qwen2.forward(
+            p["lm"], cfg.decoder, state.cur_embeds[:, None, :],
+            state.pos_positions[:, None], qwen2.decode_bias(vis_step),
+            cache=state.pos_cache, write_pos=state.write_pos)
+        state = state._replace(
+            pos_cache=cache, pos_visible=vis_step,
+            write_pos=state.write_pos + 1,
+            pos_positions=state.pos_positions + 1)
+        return self._post_lm(state, hidden[:, 0])
+
+    def _chunk_impl(self, state: GenState, n: int) -> Tuple[GenState, StepOutput]:
+        def body(s, _):
+            s, out = self._step_impl(s)
+            return s, out
+        state, outs = lax.scan(body, state, None, length=n)
+        return state, outs
+
+    # ------------------------------------------------------------------
+    def prefill(self, input_ids, attention_mask, speech_input_mask,
+                speech_tensors=None, speech_frame_masks=None, rng=None,
+                voice_latents=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._prefill(self.params, jnp.asarray(input_ids),
+                             jnp.asarray(attention_mask),
+                             jnp.asarray(speech_input_mask),
+                             None if speech_tensors is None else jnp.asarray(speech_tensors),
+                             None if speech_frame_masks is None else jnp.asarray(speech_frame_masks),
+                             rng,
+                             None if voice_latents is None else jnp.asarray(voice_latents))
+
+    def step(self, state):
+        return self._step(state)
+
+    def decode_chunk(self, state, n: int):
+        return self._chunk(state, n)
+
+
+class GenerationResult(NamedTuple):
+    tokens: np.ndarray          # [B, steps] generated control tokens
+    audio: list                 # list of [T_b] float32 waveforms (or None)
+    reach_max: np.ndarray       # [B] bool
+    steps: int
+
+
+def generate(
+    engine: Engine,
+    input_ids,
+    attention_mask,
+    speech_input_mask,
+    speech_tensors=None,
+    speech_frame_masks=None,
+    rng=None,
+    voice_latents=None,
+    audio_streamer=None,
+    stop_check_fn=None,
+    check_every: int = 8,
+    show_progress: bool = False,
+) -> GenerationResult:
+    """Host-side loop (ref generate :328-710).  With a streamer attached it
+    steps one frame at a time and feeds chunks; otherwise it advances in
+    `check_every`-step fused scans and only syncs flags between chunks."""
+    state, out = engine.prefill(input_ids, attention_mask, speech_input_mask,
+                                speech_tensors, speech_frame_masks, rng, voice_latents)
+    b = engine.batch
+    steps_done = 1
+    it = range(1, engine.max_steps)
+    if show_progress:
+        try:
+            from tqdm import tqdm
+            it = tqdm(it, desc="Generating", ncols=100)
+        except ImportError:
+            pass
+
+    def _feed_streamer(o: StepOutput):
+        if audio_streamer is None:
+            return
+        emitted = np.asarray(o.emitted)
+        if emitted.any():
+            chunk = np.asarray(o.audio_chunk)
+            idx = np.nonzero(emitted)[0]
+            audio_streamer.put(chunk[idx], idx)
+        fin = np.asarray(o.finished)
+        if fin.any():
+            audio_streamer.end(np.nonzero(fin)[0])
+
+    _feed_streamer(out)
+
+    if audio_streamer is not None or stop_check_fn is not None:
+        for _ in it:
+            if stop_check_fn is not None and stop_check_fn():
+                break
+            if bool(np.asarray(state.finished).all()):
+                break
+            state, out = engine.step(state)
+            steps_done += 1
+            _feed_streamer(out)
+    else:
+        while steps_done < engine.max_steps:
+            if bool(np.asarray(state.finished).all()):
+                break
+            n = min(check_every, engine.max_steps - steps_done)
+            state, _ = engine.decode_chunk(state, n)
+            steps_done += n
+
+    if audio_streamer is not None:
+        audio_streamer.end()
+
+    frames = np.asarray(state.frames)
+    audio_buf = np.asarray(state.audio)
+    hop = engine.hop
+    audio = [audio_buf[i, : frames[i] * hop] if frames[i] > 0 else None for i in range(b)]
+    tokens = np.asarray(state.tokens)[:, : int(np.asarray(state.step))]
+    return GenerationResult(tokens=tokens, audio=audio,
+                            reach_max=np.asarray(state.reach_max), steps=steps_done)
+
+
+__all__ = ["Engine", "GenerationConfig", "GenState", "StepOutput",
+           "GenerationResult", "generate"]

@@ -1,0 +1,88 @@
+"""adaLN diffusion head, TPU-native.
+
+Re-implements the reference head (`vibevoice/modular/modular_vibevoice_diffusion_head.py:191-280`):
+latent -> hidden proj, sinusoidal timestep embed -> 2-layer SiLU MLP,
+condition proj; N adaLN-modulated SwiGLU FFN blocks; final adaLN linear back
+to the latent dim.  This runs `ddpm_steps x` per generated audio frame — the
+per-step hot kernel — so the whole forward is a handful of fused matmuls
+(XLA) with zero data-dependent control flow.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import DiffusionHeadConfig
+from .norms import rms_norm
+
+Params = Dict[str, Any]
+
+
+def init(key, cfg: DiffusionHeadConfig, dtype=jnp.float32) -> Params:
+    """Init matching the reference (`initialize_weights` :240-252):
+    t-embedder ~ N(0, 0.02); adaLN modulation and final linear zero-init;
+    other projections ~ N(0, initializer_range=0.02) via HF _init_weights."""
+    h, lat, ffn = cfg.hidden_size, cfg.latent_size, int(cfg.hidden_size * cfg.head_ffn_ratio)
+    ks = jax.random.split(key, 4 + cfg.head_layers * 3)
+    std = 0.02
+
+    def nrm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    layers = []
+    for i in range(cfg.head_layers):
+        k1, k2, k3 = ks[4 + 3 * i], ks[4 + 3 * i + 1], ks[4 + 3 * i + 2]
+        layers.append({
+            "ada_w": jnp.zeros((h, 3 * h), dtype),
+            "norm_w": jnp.ones((h,), dtype),
+            "gate": nrm(k1, (h, ffn)),
+            "up": nrm(k2, (h, ffn)),
+            "down": nrm(k3, (ffn, h)),
+        })
+    return {
+        "noisy_proj": nrm(ks[0], (lat, h)),
+        "cond_proj": nrm(ks[1], (h, h)),
+        "t_mlp1": nrm(ks[2], (cfg.freq_embed_size, h)),
+        "t_mlp2": nrm(ks[3], (h, h)),
+        "layers": layers,
+        "final_ada_w": jnp.zeros((h, 2 * h), dtype),
+        "final_linear": jnp.zeros((h, lat), dtype),
+    }
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal embedding, [cos | sin] order (ref TimestepEmbedder :66-88)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    return emb.astype(t.dtype) if jnp.issubdtype(t.dtype, jnp.floating) else emb
+
+
+def apply(params: Params, cfg: DiffusionHeadConfig,
+          noisy: jnp.ndarray, timesteps: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
+    """noisy [N, latent], timesteps [N], condition [N, hidden] -> [N, latent]
+    (ref forward :254-280)."""
+    eps = cfg.rms_norm_eps
+    x = noisy @ params["noisy_proj"]
+    t_freq = timestep_embedding(timesteps, cfg.freq_embed_size).astype(x.dtype)
+    t_emb = jax.nn.silu(t_freq @ params["t_mlp1"]) @ params["t_mlp2"]
+    c = condition @ params["cond_proj"] + t_emb
+
+    for lp in params["layers"]:
+        mod = jax.nn.silu(c) @ lp["ada_w"]
+        shift, scale, gate = jnp.split(mod, 3, axis=-1)
+        h = rms_norm(x, lp["norm_w"], eps) * (1 + scale) + shift
+        h = (jax.nn.silu(h @ lp["gate"]) * (h @ lp["up"])) @ lp["down"]
+        x = x + gate * h
+
+    mod = jax.nn.silu(c) @ params["final_ada_w"]
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    x = rms_norm(x, None, eps) * (1 + scale) + shift
+    return x @ params["final_linear"]
+
+
+__all__ = ["init", "apply", "timestep_embedding"]

@@ -1,0 +1,245 @@
+"""Qwen2 causal decoder, TPU-native.
+
+The reference pulls `Qwen2Model` from transformers
+(`vibevoice/modular/modeling_vibevoice.py:121`); here it is implemented
+natively: RoPE (theta 1e6), GQA (12H/2KV at 1.5B), RMSNorm, SwiGLU MLP,
+biased q/k/v projections — numerics matched to HF Qwen2 for parity.
+
+Design:
+  * params pytree + pure apply fns (no module graph)
+  * ONE static preallocated KV cache `[L, B, S_max, KVH, D]` written with
+    dynamic_update_slice — decode runs fully inside jit with donated cache
+  * prefill and decode share the same attention core; masks are additive fp32
+  * sharding: attention heads and MLP hidden dims are split over the `model`
+    mesh axis by `parallel/mesh.py` partition specs (HF tp_plan col/row split,
+    ref configuration_vibevoice.py:175-183, expressed as GSPMD instead)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..configs import Qwen2Config
+from .norms import rms_norm
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: Qwen2Config, dtype=jnp.float32) -> Params:
+    """Random init (N(0, 0.02)) with HF layout; real weights come from the
+    checkpoint importer."""
+    std = 0.02
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    n_layers = cfg.num_hidden_layers
+    ks = jax.random.split(key, 2 + n_layers)
+
+    def nrm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    layers = []
+    for i in range(n_layers):
+        lk = jax.random.split(ks[2 + i], 7)
+        layers.append({
+            "input_norm_w": jnp.ones((h,), dtype),
+            "q": {"w": nrm(lk[0], (h, nh * hd)), "b": jnp.zeros((nh * hd,), dtype) if cfg.attention_bias else None},
+            "k": {"w": nrm(lk[1], (h, nkv * hd)), "b": jnp.zeros((nkv * hd,), dtype) if cfg.attention_bias else None},
+            "v": {"w": nrm(lk[2], (h, nkv * hd)), "b": jnp.zeros((nkv * hd,), dtype) if cfg.attention_bias else None},
+            "o": {"w": nrm(lk[3], (nh * hd, h)), "b": None},
+            "post_norm_w": jnp.ones((h,), dtype),
+            "gate": nrm(lk[4], (h, ffn)),
+            "up": nrm(lk[5], (h, ffn)),
+            "down": nrm(lk[6], (ffn, h)),
+        })
+    return {
+        "embed": nrm(ks[0], (cfg.vocab_size, h)),
+        "layers": layers,
+        "final_norm_w": jnp.ones((h,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# RoPE (HF Qwen2 numerics: fp32 cos/sin, rotate-half)
+# ---------------------------------------------------------------------------
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions [B, T] -> cos/sin [B, T, head_dim] (fp32)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [B, T, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x [B, T, H, D]; cos/sin [B, T, D]."""
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * c + rot * s
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, S, KVH, D]
+    v: jnp.ndarray  # [L, B, S, KVH, D]
+
+
+def kv_cache_init(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# attention core
+# ---------------------------------------------------------------------------
+
+def _attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+            bias: jnp.ndarray) -> jnp.ndarray:
+    """q [B, Tq, H, D]; k/v [B, Tk, KVH, D]; additive bias [B, 1|H, Tq, Tk].
+
+    GQA via 5-D reshape (no materialized head repeat); softmax in fp32.
+    """
+    b, tq, nh, d = q.shape
+    nkv = k.shape[2]
+    g = nh // nkv
+    qg = q.reshape(b, tq, nkv, g, d)
+    scale = d ** -0.5
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32) * scale
+    logits = logits + bias.reshape(b, nkv, g, *bias.shape[-2:]) if bias.shape[1] == nh else logits + bias[:, :, None]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(b, tq, nh, d).astype(q.dtype)
+
+
+def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
+           cos: jnp.ndarray, sin: jnp.ndarray,
+           kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+           cache_slice: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+           bias: jnp.ndarray) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """One decoder layer. If `cache_slice=(k_cache, v_cache, write_pos)` is
+    given, new k/v are written at write_pos and attention reads the cache."""
+    b, t, h = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    hn = rms_norm(x, lp["input_norm_w"], cfg.rms_norm_eps)
+    q = hn @ lp["q"]["w"]
+    if lp["q"]["b"] is not None:
+        q = q + lp["q"]["b"]
+    k = hn @ lp["k"]["w"]
+    if lp["k"]["b"] is not None:
+        k = k + lp["k"]["b"]
+    v = hn @ lp["v"]["w"]
+    if lp["v"]["b"] is not None:
+        v = v + lp["v"]["b"]
+    q = apply_rope(q.reshape(b, t, nh, hd), cos, sin)
+    k = apply_rope(k.reshape(b, t, nkv, hd), cos, sin)
+    v = v.reshape(b, t, nkv, hd)
+
+    new_kv = None
+    if cache_slice is not None:
+        k_cache, v_cache, pos = cache_slice
+        if pos.ndim == 0:
+            # uniform write position (left-padded positive stream)
+            k_cache = lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0))
+            v_cache = lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0))
+        else:
+            # per-sample write position (CFG negative stream: each sample's
+            # write pointer advances only on its own diffusion steps)
+            def _wr(c, kk, p):
+                return lax.dynamic_update_slice(c, kk, (p, 0, 0))
+            k_cache = jax.vmap(_wr)(k_cache, k.astype(k_cache.dtype), pos)
+            v_cache = jax.vmap(_wr)(v_cache, v.astype(v_cache.dtype), pos)
+        new_kv = (k_cache, v_cache)
+        k_att, v_att = k_cache, v_cache
+    else:
+        k_att, v_att = k, v
+
+    att = _attend(q, k_att, v_att, bias)
+    att = att.reshape(b, t, nh * hd) @ lp["o"]["w"]
+    x = x + att
+
+    hn = rms_norm(x, lp["post_norm_w"], cfg.rms_norm_eps)
+    mlp = (jax.nn.silu(hn @ lp["gate"]) * (hn @ lp["up"])) @ lp["down"]
+    return x + mlp, new_kv
+
+
+def forward(
+    params: Params,
+    cfg: Qwen2Config,
+    inputs_embeds: jnp.ndarray,          # [B, T, H]
+    positions: jnp.ndarray,              # [B, T] rope positions
+    attn_bias: jnp.ndarray,              # [B, 1, T, S] additive fp32 bias
+    cache: Optional[KVCache] = None,
+    write_pos: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder stack. With `cache`, keys/values are appended at
+    `write_pos` (same for all samples — left-padded batching) and attention
+    spans the cache; without, attention spans the inputs (bias supplied)."""
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    x = inputs_embeds
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["layers"]):
+        cache_slice = None
+        if cache is not None:
+            cache_slice = (cache.k[li], cache.v[li], write_pos)
+        x, nkv = _layer(lp, cfg, x, cos, sin, None, cache_slice, attn_bias)
+        if nkv is not None:
+            new_k.append(nkv[0])
+            new_v.append(nkv[1])
+    x = rms_norm(x, params["final_norm_w"], cfg.rms_norm_eps)
+    new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v)) if cache is not None else None
+    return x, new_cache
+
+
+def causal_bias(attention_mask: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Left-padded batch prefill bias: [B, S] pad mask -> [B, 1, T, S] additive."""
+    s = attention_mask.shape[-1]
+    causal = jnp.tril(jnp.ones((t, s), bool), k=s - t)
+    ok = causal[None] & attention_mask[:, None, :].astype(bool)
+    return jnp.where(ok, 0.0, -1e9).astype(jnp.float32)[:, None]
+
+
+def decode_bias(visible: jnp.ndarray) -> jnp.ndarray:
+    """Decode-step bias from a [B, S] visibility mask -> [B, 1, 1, S]."""
+    return jnp.where(visible.astype(bool), 0.0, -1e9).astype(jnp.float32)[:, None, None, :]
+
+
+def positions_from_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """HF convention: position_ids = cumsum(mask) - 1, clamped at 0 on pads."""
+    pos = jnp.cumsum(attention_mask, axis=-1) - 1
+    return jnp.maximum(pos, 0)
+
+
+def logits(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray,
+           lm_head: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """LM head; tied to the embedding when `lm_head` is None
+    (ref modeling_vibevoice_inference.py:120-129)."""
+    w = params["embed"].T if lm_head is None else lm_head
+    return hidden @ w
+
+
+__all__ = [
+    "init",
+    "forward",
+    "logits",
+    "KVCache",
+    "kv_cache_init",
+    "rope_cos_sin",
+    "apply_rope",
+    "causal_bias",
+    "decode_bias",
+    "positions_from_mask",
+]

@@ -1,0 +1,337 @@
+"""sigma-VAE acoustic / semantic tokenizers, TPU-native.
+
+Re-implements the reference codec stack
+(`vibevoice/modular/modular_vibevoice_tokenizer.py:620-1186`) as pure
+functions over a params pytree, channel-last `[B, T, C]`:
+
+* Encoder: stem conv + 6 strided downsampling convs (ratios reversed ->
+  [2,2,4,5,5,8], 3200x total) interleaved with stages of `Block1D`
+  (depthwise-conv mixer + GELU FFN + layer-scale), then head conv to the
+  latent dim (ref TokenizerEncoder :687-813).
+* Decoder: mirror with transposed-conv upsampling expressed as matmul +
+  overlap-add (ref TokenizerDecoder :816-951).
+* Streaming: every conv carries a fixed-shape state (ring-tail of inputs for
+  convs, partial-sum tail for transposed convs) collected in a flat tuple
+  pytree — replaces the dict-keyed `VibeVoiceTokenizerStreamingCache`
+  (:193-256) and is donation/scan friendly.
+
+Weight init matches the reference `_init_weights` (:1067-1079): conv/linear
+weights ~ N(0, weight_init_value), biases zero.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import AcousticTokenizerConfig, SemanticTokenizerConfig
+from ..ops.conv import (
+    ConvState,
+    ConvTState,
+    causal_conv1d,
+    causal_conv1d_streaming,
+    causal_conv_transpose1d,
+    causal_conv_transpose1d_streaming,
+    conv_state_init,
+    conv_transpose_state_init,
+)
+from .norms import rms_norm
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, k: int, cin: int, cout: int, std: float, bias: bool, dtype):
+    w = jax.random.normal(key, (k, cin, cout), dtype=jnp.float32) * std
+    p = {"w": w.astype(dtype)}
+    p["b"] = jnp.zeros((cout,), dtype) if bias else None
+    return p
+
+
+def _convt_init(key, cin: int, k: int, cout: int, std: float, bias: bool, dtype):
+    w = jax.random.normal(key, (cin, k, cout), dtype=jnp.float32) * std
+    p = {"w": w.astype(dtype)}
+    p["b"] = jnp.zeros((cout,), dtype) if bias else None
+    return p
+
+
+def _linear_init(key, cin: int, cout: int, std: float, bias: bool, dtype):
+    w = jax.random.normal(key, (cin, cout), dtype=jnp.float32) * std
+    p = {"w": w.astype(dtype)}
+    p["b"] = jnp.zeros((cout,), dtype) if bias else None
+    return p
+
+
+def _block_init(key, dim: int, cfg, dtype) -> Params:
+    """Block1D params (ref :620-684)."""
+    ks = jax.random.split(key, 3)
+    groups = dim if cfg.mixer_layer == "depthwise_conv" else 1
+    mixer_cin = dim // groups
+    return {
+        "norm_w": jnp.ones((dim,), dtype),
+        "mixer": _conv_init(ks[0], 7, mixer_cin, dim, cfg.weight_init_value, cfg.conv_bias, dtype),
+        "gamma": jnp.full((dim,), cfg.layer_scale_init_value, dtype),
+        "ffn_norm_w": jnp.ones((dim,), dtype),
+        "ffn1": _linear_init(ks[1], dim, cfg.ffn_expansion * dim, cfg.weight_init_value, cfg.conv_bias, dtype),
+        "ffn2": _linear_init(ks[2], cfg.ffn_expansion * dim, dim, cfg.weight_init_value, cfg.conv_bias, dtype),
+        "ffn_gamma": jnp.full((dim,), cfg.layer_scale_init_value, dtype),
+    }
+
+
+def encoder_dims(n_filters: int, n_stages: int) -> List[int]:
+    return [n_filters * (2 ** i) for i in range(n_stages)]
+
+
+def decoder_dims(n_filters: int, n_stages: int) -> List[int]:
+    return [n_filters * (2 ** (n_stages - 1 - i)) for i in range(n_stages)]
+
+
+def init_encoder(key, cfg, dtype=jnp.float32) -> Params:
+    """TokenizerEncoder params (ref :687-774)."""
+    depths = cfg.encoder_depths
+    n = len(depths)
+    dims = encoder_dims(cfg.encoder_n_filters, n)
+    strides = list(reversed(cfg.encoder_ratios))  # ref :701
+    keys = jax.random.split(key, 2 * n + 2)
+    down = [_conv_init(keys[0], cfg.kernel_size, cfg.channels, dims[0],
+                       cfg.weight_init_value, cfg.conv_bias, dtype)]
+    for i in range(n - 1):
+        r = strides[i]
+        down.append(_conv_init(keys[1 + i], 2 * r, dims[i], dims[i + 1],
+                               cfg.weight_init_value, cfg.conv_bias, dtype))
+    stages = []
+    for i in range(n):
+        bkeys = jax.random.split(keys[n + i], depths[i])
+        stages.append([_block_init(bk, dims[i], cfg, dtype) for bk in bkeys])
+    final_norm = None if cfg.disable_last_norm else jnp.ones((dims[-1],), dtype)
+    head = _conv_init(keys[-1], cfg.last_kernel_size, dims[-1], cfg.vae_dim,
+                      cfg.weight_init_value, cfg.conv_bias, dtype)
+    return {"down": down, "stages": stages, "final_norm_w": final_norm, "head": head}
+
+
+def init_decoder(key, cfg: AcousticTokenizerConfig, dtype=jnp.float32) -> Params:
+    """TokenizerDecoder params (ref :816-912)."""
+    depths = cfg.decoder_depths_resolved()
+    n = len(depths)
+    dims = decoder_dims(cfg.decoder_n_filters, n)
+    strides = list(cfg.decoder_ratios)  # ref :830 (not reversed)
+    keys = jax.random.split(key, 2 * n + 2)
+    up = [_conv_init(keys[0], cfg.kernel_size, cfg.vae_dim, dims[0],
+                     cfg.weight_init_value, cfg.conv_bias, dtype)]
+    for i in range(n - 1):
+        r = strides[i]
+        up.append(_convt_init(keys[1 + i], dims[i], 2 * r, dims[i + 1],
+                              cfg.weight_init_value, cfg.conv_bias, dtype))
+    stages = []
+    for i in range(n):
+        bkeys = jax.random.split(keys[n + i], depths[i])
+        stages.append([_block_init(bk, dims[i], cfg, dtype) for bk in bkeys])
+    final_norm = None if cfg.disable_last_norm else jnp.ones((dims[-1],), dtype)
+    head = _conv_init(keys[-1], cfg.last_kernel_size, dims[-1], cfg.channels,
+                      cfg.weight_init_value, cfg.conv_bias, dtype)
+    return {"up": up, "stages": stages, "final_norm_w": final_norm, "head": head}
+
+
+# ---------------------------------------------------------------------------
+# apply (non-streaming)
+# ---------------------------------------------------------------------------
+
+def _block_apply(p: Params, x: jnp.ndarray, eps: float, groups: int,
+                 states: Optional[list] = None) -> jnp.ndarray:
+    """Block1D forward (ref :665-684): mixer + layer-scale, then GELU FFN."""
+    res = x
+    h = rms_norm(x, p["norm_w"], eps)
+    if states is None:
+        h = causal_conv1d(h, p["mixer"]["w"], p["mixer"]["b"], groups=groups)
+    else:
+        st = states.pop(0)
+        h, new_st = causal_conv1d_streaming(h, st, p["mixer"]["w"], p["mixer"]["b"], groups=groups)
+        states.append(new_st)
+    x = res + h * p["gamma"]
+
+    res = x
+    h = rms_norm(x, p["ffn_norm_w"], eps)
+    h = h @ p["ffn1"]["w"]
+    if p["ffn1"]["b"] is not None:
+        h = h + p["ffn1"]["b"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ p["ffn2"]["w"]
+    if p["ffn2"]["b"] is not None:
+        h = h + p["ffn2"]["b"]
+    return res + h * p["ffn_gamma"]
+
+
+def encoder_apply(params: Params, cfg, x: jnp.ndarray,
+                  states: Optional[list] = None) -> jnp.ndarray:
+    """audio [B, T, 1] -> latents [B, T/hop, vae_dim] (ref forward :810-813).
+
+    If `states` is given (a list of ConvState, consumed in application order
+    and re-appended), runs in streaming mode; pass the rotating list returned
+    by `encoder_state_init`.
+    """
+    depths = cfg.encoder_depths
+    strides = [1] + list(reversed(cfg.encoder_ratios))
+    groups_of = (lambda d: d) if cfg.mixer_layer == "depthwise_conv" else (lambda d: 1)
+    h = x
+    for i in range(len(depths)):
+        dp = params["down"][i]
+        if states is None:
+            h = causal_conv1d(h, dp["w"], dp["b"], stride=strides[i])
+        else:
+            st = states.pop(0)
+            h, new_st = causal_conv1d_streaming(h, st, dp["w"], dp["b"], stride=strides[i])
+            states.append(new_st)
+        for bp in params["stages"][i]:
+            h = _block_apply(bp, h, cfg.layernorm_eps, groups_of(h.shape[-1]), states)
+    if params["final_norm_w"] is not None:
+        h = rms_norm(h, params["final_norm_w"], cfg.layernorm_eps)
+    hp = params["head"]
+    if states is None:
+        h = causal_conv1d(h, hp["w"], hp["b"])
+    else:
+        st = states.pop(0)
+        h, new_st = causal_conv1d_streaming(h, st, hp["w"], hp["b"])
+        states.append(new_st)
+    return h
+
+
+def decoder_apply(params: Params, cfg: AcousticTokenizerConfig, z: jnp.ndarray,
+                  states: Optional[list] = None) -> jnp.ndarray:
+    """latents [B, F, vae_dim] -> audio [B, F*hop, 1] (ref forward :948-951)."""
+    depths = cfg.decoder_depths_resolved()
+    strides = list(cfg.decoder_ratios)
+    groups_of = (lambda d: d) if cfg.mixer_layer == "depthwise_conv" else (lambda d: 1)
+    h = z
+    for i in range(len(depths)):
+        up = params["up"][i]
+        if i == 0:
+            if states is None:
+                h = causal_conv1d(h, up["w"], up["b"])
+            else:
+                st = states.pop(0)
+                h, new_st = causal_conv1d_streaming(h, st, up["w"], up["b"])
+                states.append(new_st)
+        else:
+            r = strides[i - 1]
+            if states is None:
+                h = causal_conv_transpose1d(h, up["w"], up["b"], stride=r)
+            else:
+                st = states.pop(0)
+                h, new_st = causal_conv_transpose1d_streaming(h, st, up["w"], up["b"], stride=r)
+                states.append(new_st)
+        for bp in params["stages"][i]:
+            h = _block_apply(bp, h, cfg.layernorm_eps, groups_of(h.shape[-1]), states)
+    if params["final_norm_w"] is not None:
+        h = rms_norm(h, params["final_norm_w"], cfg.layernorm_eps)
+    hp = params["head"]
+    if states is None:
+        h = causal_conv1d(h, hp["w"], hp["b"])
+    else:
+        st = states.pop(0)
+        h, new_st = causal_conv1d_streaming(h, st, hp["w"], hp["b"])
+        states.append(new_st)
+    return h
+
+
+def encoder_apply_streaming(params: Params, cfg, x: jnp.ndarray, states):
+    """Functional streaming encode: returns (latents, new_states)."""
+    s = list(states)
+    y = encoder_apply(params, cfg, x, s)
+    return y, s
+
+
+def decoder_apply_streaming(params: Params, cfg, z: jnp.ndarray, states):
+    """Functional streaming decode: returns (audio, new_states)."""
+    s = list(states)
+    y = decoder_apply(params, cfg, z, s)
+    return y, s
+
+
+# ---------------------------------------------------------------------------
+# streaming state construction
+# ---------------------------------------------------------------------------
+
+def encoder_state_init(cfg, batch: int, dtype=jnp.float32) -> list:
+    """Flat list of ConvState in the exact order `encoder_apply` consumes them."""
+    depths = cfg.encoder_depths
+    n = len(depths)
+    dims = encoder_dims(cfg.encoder_n_filters, n)
+    strides = [1] + list(reversed(cfg.encoder_ratios))
+    states: list = []
+    cin = cfg.channels
+    for i in range(n):
+        k = cfg.kernel_size if i == 0 else 2 * strides[i]
+        states.append(conv_state_init(batch, cin, k, strides[i], dtype=dtype))
+        cin = dims[i]
+        for _ in range(depths[i]):
+            mixer_cin = dims[i]
+            states.append(conv_state_init(batch, mixer_cin, 7, 1, dtype=dtype))
+    states.append(conv_state_init(batch, dims[-1], cfg.last_kernel_size, 1, dtype=dtype))
+    return states
+
+
+def decoder_state_init(cfg: AcousticTokenizerConfig, batch: int, dtype=jnp.float32) -> list:
+    depths = cfg.decoder_depths_resolved()
+    n = len(depths)
+    dims = decoder_dims(cfg.decoder_n_filters, n)
+    strides = list(cfg.decoder_ratios)
+    states: list = []
+    for i in range(n):
+        if i == 0:
+            states.append(conv_state_init(batch, cfg.vae_dim, cfg.kernel_size, 1, dtype=dtype))
+        else:
+            r = strides[i - 1]
+            states.append(conv_transpose_state_init(batch, dims[i], 2 * r, r, dtype=dtype))
+        for _ in range(depths[i]):
+            states.append(conv_state_init(batch, dims[i], 7, 1, dtype=dtype))
+    states.append(conv_state_init(batch, dims[-1], cfg.last_kernel_size, 1, dtype=dtype))
+    return states
+
+
+def state_reset_where(states, reset_mask: jnp.ndarray):
+    """Zero streaming state for samples where reset_mask[b] is True.
+
+    Replaces the reference's `cache.set_to_zero(sample_indices)` (:234-241)
+    with a masked, jit-friendly rewrite.
+    """
+    def _z(leaf):
+        m = reset_mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+        return jnp.where(m, jnp.zeros_like(leaf), leaf)
+    return jax.tree_util.tree_map(_z, states)
+
+
+# ---------------------------------------------------------------------------
+# VAE sampling (ref VibeVoiceTokenizerEncoderOutput :954-1000)
+# ---------------------------------------------------------------------------
+
+def vae_sample_gaussian(key, mean: jnp.ndarray, fix_std: float) -> jnp.ndarray:
+    """'gaussian' dist sampling: batch-wise random std scaled by fix_std/0.8."""
+    b = mean.shape[0]
+    k1, k2 = jax.random.split(key)
+    std = jax.random.normal(k1, (b,), mean.dtype) * (fix_std / 0.8)
+    std = std.reshape((b,) + (1,) * (mean.ndim - 1))
+    return mean + std * jax.random.normal(k2, mean.shape, mean.dtype)
+
+
+def vae_sample_fix(key, mean: jnp.ndarray, fix_std: float) -> jnp.ndarray:
+    return mean + fix_std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+__all__ = [
+    "init_encoder",
+    "init_decoder",
+    "encoder_apply",
+    "decoder_apply",
+    "encoder_state_init",
+    "decoder_state_init",
+    "state_reset_where",
+    "vae_sample_gaussian",
+    "vae_sample_fix",
+    "encoder_dims",
+    "decoder_dims",
+]
