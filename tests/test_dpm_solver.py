@@ -59,7 +59,7 @@ def test_trajectory_matches(reference_path, steps, pred):
     for i, t in enumerate(ref.timesteps):
         x_ref = ref.step(outs[i], t, x_ref).prev_sample
         x, state = ds.step(cfg, sched, jnp.int32(i), state, jnp.asarray(outs[i].numpy()), x)
-    np.testing.assert_allclose(np.asarray(x), x_ref.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(x), x_ref.numpy(), atol=2e-5, rtol=1e-5)
 
 
 def test_sde_trajectory_matches(reference_path):

@@ -88,6 +88,7 @@ class GenState(NamedTuple):
     # bookkeeping
     tokens: jnp.ndarray         # [B, max_steps] int32 generated tokens
     rng: jnp.ndarray
+    latent_noise: jnp.ndarray   # [F, B, latent] injected x_T per frame (parity tests)
 
 
 def _token_bias(vocab: int, gen: GenerationConfig) -> np.ndarray:
@@ -110,7 +111,8 @@ class Engine:
 
     def __init__(self, params: Params, cfg: VibeVoiceConfig, gen: GenerationConfig,
                  max_steps: int, batch: int, prompt_len: int,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, inject_latent_noise: bool = False):
+        self.inject_latent_noise = inject_latent_noise
         self.params = params
         self.cfg = cfg
         self.gen = gen
@@ -132,11 +134,11 @@ class Engine:
         self.token_bias = jnp.asarray(_token_bias(cfg.decoder.vocab_size, gen))
 
         self._prefill = jax.jit(self._prefill_impl)
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
-        self._chunk = jax.jit(self._chunk_impl, donate_argnums=(0,), static_argnums=(1,))
+        self._step = jax.jit(self._step_impl, donate_argnums=(1,))
+        self._chunk = jax.jit(self._chunk_impl, donate_argnums=(1,), static_argnums=(2,))
 
     # ------------------------------------------------------------------
-    def _post_lm(self, state: GenState, h_t: jnp.ndarray,
+    def _post_lm(self, p: Params, state: GenState, h_t: jnp.ndarray,
                  h_neg_prefill: Optional[jnp.ndarray] = None) -> Tuple[GenState, StepOutput]:
         """Everything after the positive LM forward for one step.
 
@@ -144,7 +146,7 @@ class Engine:
         supplies the negative condition at step 0 (hidden of the bare
         speech_start context) before any negative decode has run.
         """
-        p, cfg, gen = self.params, self.cfg, self.gen
+        cfg, gen = self.cfg, self.gen
         b = h_t.shape[0]
         hop = self.hop
 
@@ -201,7 +203,11 @@ class Engine:
                 neg_cache2 = neg_cache
                 neg_visible2 = neg_visible
 
-            x_init = jax.random.normal(k_noise, (b, cfg.acoustic_vae_dim), h_t.dtype)
+            if self.inject_latent_noise:
+                # parity mode: frame f of sample b uses recorded noise
+                x_init = state.latent_noise[state.frames, jnp.arange(b)].astype(h_t.dtype)
+            else:
+                x_init = jax.random.normal(k_noise, (b, cfg.acoustic_vae_dim), h_t.dtype)
             latent = vibevoice.sample_speech_latents(
                 p, cfg, self.solver_cfg, self.sched, h_t, h_neg, gen.cfg_scale, x_init)
             scaled = vibevoice.unscale_latents(p, latent)
@@ -234,9 +240,10 @@ class Engine:
         acoustic_state = jax.tree_util.tree_map(sel, ac_state_new, acoustic_state)
         semantic_state = jax.tree_util.tree_map(sel, sem_state_new, semantic_state)
         neg_visible = jnp.where(is_diff[:, None], neg_visible_new, neg_visible)
-        neg_ptr = jnp.where(is_diff & (h_neg_prefill is None), state.neg_ptr + 1, state.neg_ptr)
-        neg_positions = jnp.where(is_diff & (h_neg_prefill is None),
-                                  state.neg_positions + 1, state.neg_positions)
+        # the step-0 negative context was already consumed during prefill
+        adv = is_diff if h_neg_prefill is None else jnp.zeros_like(is_diff)
+        neg_ptr = jnp.where(adv, state.neg_ptr + 1, state.neg_ptr)
+        neg_positions = jnp.where(adv, state.neg_positions + 1, state.neg_positions)
 
         # audio write at per-sample frame offsets
         def wr(buf, ch, start, emit):
@@ -273,10 +280,10 @@ class Engine:
                       speech_frame_masks: Optional[jnp.ndarray],
                       rng: jnp.ndarray,
                       voice_latents: Optional[jnp.ndarray] = None,
+                      latent_noise: Optional[jnp.ndarray] = None,
                       ) -> Tuple[GenState, StepOutput]:
         """Process the prompt, build caches, and execute step 0."""
         p, cfg, gen = params, self.cfg, self.gen
-        self.params = p  # jit passes params explicitly; keep view coherent
         b, t0 = input_ids.shape
         dec = cfg.decoder
         h_dim = dec.hidden_size
@@ -338,15 +345,17 @@ class Engine:
             audio=jnp.zeros((b, self.max_steps * self.hop), jnp.float32),
             tokens=jnp.zeros((b, self.max_steps), jnp.int32),
             rng=rng,
+            latent_noise=(latent_noise if latent_noise is not None
+                          else jnp.zeros((1, b, cfg.acoustic_vae_dim), self.dtype)),
         )
-        return self._post_lm(state, h_last, h_neg_prefill=h_neg0[:, 0])
+        return self._post_lm(p, state, h_last, h_neg_prefill=h_neg0[:, 0])
 
     # ------------------------------------------------------------------
-    def _step_impl(self, state: GenState) -> Tuple[GenState, StepOutput]:
-        p, cfg = self.params, self.cfg
+    def _step_impl(self, params: Params, state: GenState) -> Tuple[GenState, StepOutput]:
+        p, cfg = params, self.cfg
         vis_step = jnp.minimum(
-            state.pos_visible + _onehot(jnp.full((self.batch,), 1, jnp.int32) * 0 + state.write_pos,
-                                        self.cache_len), 1)
+            state.pos_visible
+            + _onehot(jnp.broadcast_to(state.write_pos, (self.batch,)), self.cache_len), 1)
         hidden, cache = qwen2.forward(
             p["lm"], cfg.decoder, state.cur_embeds[:, None, :],
             state.pos_positions[:, None], qwen2.decode_bias(vis_step),
@@ -355,11 +364,11 @@ class Engine:
             pos_cache=cache, pos_visible=vis_step,
             write_pos=state.write_pos + 1,
             pos_positions=state.pos_positions + 1)
-        return self._post_lm(state, hidden[:, 0])
+        return self._post_lm(p, state, hidden[:, 0])
 
-    def _chunk_impl(self, state: GenState, n: int) -> Tuple[GenState, StepOutput]:
+    def _chunk_impl(self, params: Params, state: GenState, n: int) -> Tuple[GenState, StepOutput]:
         def body(s, _):
-            s, out = self._step_impl(s)
+            s, out = self._step_impl(params, s)
             return s, out
         state, outs = lax.scan(body, state, None, length=n)
         return state, outs
@@ -367,7 +376,7 @@ class Engine:
     # ------------------------------------------------------------------
     def prefill(self, input_ids, attention_mask, speech_input_mask,
                 speech_tensors=None, speech_frame_masks=None, rng=None,
-                voice_latents=None):
+                voice_latents=None, latent_noise=None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         return self._prefill(self.params, jnp.asarray(input_ids),
@@ -376,13 +385,14 @@ class Engine:
                              None if speech_tensors is None else jnp.asarray(speech_tensors),
                              None if speech_frame_masks is None else jnp.asarray(speech_frame_masks),
                              rng,
-                             None if voice_latents is None else jnp.asarray(voice_latents))
+                             None if voice_latents is None else jnp.asarray(voice_latents),
+                             None if latent_noise is None else jnp.asarray(latent_noise))
 
     def step(self, state):
-        return self._step(state)
+        return self._step(self.params, state)
 
     def decode_chunk(self, state, n: int):
-        return self._chunk(state, n)
+        return self._chunk(self.params, state, n)
 
 
 class GenerationResult(NamedTuple):
@@ -401,6 +411,7 @@ def generate(
     speech_frame_masks=None,
     rng=None,
     voice_latents=None,
+    latent_noise=None,
     audio_streamer=None,
     stop_check_fn=None,
     check_every: int = 8,
@@ -410,7 +421,8 @@ def generate(
     steps one frame at a time and feeds chunks; otherwise it advances in
     `check_every`-step fused scans and only syncs flags between chunks."""
     state, out = engine.prefill(input_ids, attention_mask, speech_input_mask,
-                                speech_tensors, speech_frame_masks, rng, voice_latents)
+                                speech_tensors, speech_frame_masks, rng, voice_latents,
+                                latent_noise)
     b = engine.batch
     steps_done = 1
     it = range(1, engine.max_steps)

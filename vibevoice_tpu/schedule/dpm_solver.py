@@ -86,12 +86,13 @@ def make_tables(cfg: SolverConfig) -> SolverTables:
         betas = _betas_for_alpha_bar(n, cfg.beta_schedule)
     else:
         raise NotImplementedError(cfg.beta_schedule)
-    # cumprod in float32 to match torch.cumprod on fp32 betas
-    alphas_cumprod = np.cumprod(1.0 - betas, dtype=np.float32)
-    alpha_t = np.sqrt(alphas_cumprod)
-    sigma_t = np.sqrt(1.0 - alphas_cumprod)
-    lambda_t = np.log(alpha_t) - np.log(sigma_t)
-    sigmas_train = ((1.0 - alphas_cumprod) / alphas_cumprod) ** 0.5
+    # torch.cumprod accumulates in extended precision; f64 cumprod rounded to
+    # f32 reproduces it bit-exactly (np's f32 cumprod does not)
+    alphas_cumprod = np.cumprod((1.0 - betas).astype(np.float64)).astype(np.float32)
+    alpha_t = np.sqrt(alphas_cumprod).astype(np.float32)
+    sigma_t = np.sqrt(np.float32(1.0) - alphas_cumprod).astype(np.float32)
+    lambda_t = (np.log(alpha_t) - np.log(sigma_t)).astype(np.float32)
+    sigmas_train = (((np.float32(1.0) - alphas_cumprod) / alphas_cumprod) ** 0.5).astype(np.float32)
     return SolverTables(alphas_cumprod, alpha_t, sigma_t, lambda_t, sigmas_train)
 
 

@@ -140,7 +140,27 @@ def connector_from_torch(conn) -> Dict[str, Any]:
     }
 
 
+def vibevoice_params_from_torch(model) -> Dict[str, Any]:
+    """Full reference model (`VibeVoiceForConditionalGeneration[Inference]`)
+    -> our params tree (see models/vibevoice.py:init_model)."""
+    core = model.model
+    tied = bool(getattr(core.language_model.config, "tie_word_embeddings", False))
+    return {
+        "lm": qwen2_from_torch(core.language_model),
+        "acoustic_encoder": encoder_from_torch(core.acoustic_tokenizer.encoder),
+        "acoustic_decoder": decoder_from_torch(core.acoustic_tokenizer.decoder),
+        "semantic_encoder": encoder_from_torch(core.semantic_tokenizer.encoder),
+        "acoustic_connector": connector_from_torch(core.acoustic_connector),
+        "semantic_connector": connector_from_torch(core.semantic_connector),
+        "diffusion_head": diffusion_head_from_torch(core.prediction_head),
+        "speech_scaling_factor": vec(core.speech_scaling_factor),
+        "speech_bias_factor": vec(core.speech_bias_factor),
+        "lm_head": None if tied else linear_w(model.lm_head.weight),
+    }
+
+
 __all__ = [
+    "vibevoice_params_from_torch",
     "encoder_from_torch",
     "decoder_from_torch",
     "diffusion_head_from_torch",
