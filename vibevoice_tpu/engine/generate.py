@@ -74,6 +74,7 @@ class GenState(NamedTuple):
     neg_visible: jnp.ndarray    # [B, Sn] int32
     neg_ptr: jnp.ndarray        # [B] int32 next write slot
     neg_positions: jnp.ndarray  # [B] int32 next rope position
+    neg_started: jnp.ndarray    # [B] bool — first negative entry written
     # loop state
     cur_embeds: jnp.ndarray     # [B, H] next LM input
     finished: jnp.ndarray       # [B] bool
@@ -138,13 +139,16 @@ class Engine:
         self._chunk = jax.jit(self._chunk_impl, donate_argnums=(1,), static_argnums=(2,))
 
     # ------------------------------------------------------------------
-    def _post_lm(self, p: Params, state: GenState, h_t: jnp.ndarray,
-                 h_neg_prefill: Optional[jnp.ndarray] = None) -> Tuple[GenState, StepOutput]:
+    def _post_lm(self, p: Params, state: GenState, h_t: jnp.ndarray) -> Tuple[GenState, StepOutput]:
         """Everything after the positive LM forward for one step.
 
-        `h_t` [B, H] is the hidden at the current position; `h_neg_prefill`
-        supplies the negative condition at step 0 (hidden of the bare
-        speech_start context) before any negative decode has run.
+        `h_t` [B, H] is the hidden at the current position.  The negative
+        stream starts lazily: its first KV entry is written at a sample's
+        FIRST diffusion step, from the current input embeds at rope position
+        0 — exactly the reference's behavior where the first negative
+        forward replaces the bare speech_start ids with the current
+        `inputs_embeds` (ref :592-604, and ids path at step 0 where the
+        current input embed IS the speech_start embedding).
         """
         cfg, gen = self.cfg, self.gen
         b = h_t.shape[0]
@@ -168,18 +172,21 @@ class Engine:
         acoustic_state = tokenizer.state_reset_where(state.acoustic_state, is_end)
         semantic_state = tokenizer.state_reset_where(state.semantic_state, is_end)
 
-        # speech_start: reset negative context to the bare speech_start kv
-        # (ref :563-580 — overwrite last slot with slot-0 kv, visibility = that slot)
+        # speech_start: reset negative context to its FIRST kv entry
+        # (ref :563-580 — overwrite last slot with slot-0 kv, visibility = that
+        # slot; a no-op before the negative stream has started, matching the
+        # reference where the cache is still empty)
+        do_reset = is_start & state.neg_started
         slot_r = jnp.maximum(state.neg_ptr - 1, 0)
         barange = jnp.arange(b)
         nk, nv = state.neg_cache.k, state.neg_cache.v
         cur_k = nk[:, barange, slot_r]          # [L, B, KVH, D]
         cur_v = nv[:, barange, slot_r]
-        m = is_start[None, :, None, None]
+        m = do_reset[None, :, None, None]
         nk = nk.at[:, barange, slot_r].set(jnp.where(m, nk[:, :, 0], cur_k))
         nv = nv.at[:, barange, slot_r].set(jnp.where(m, nv[:, :, 0], cur_v))
         neg_cache = qwen2.KVCache(k=nk, v=nv)
-        neg_visible = jnp.where(is_start[:, None], _onehot(slot_r, state.neg_visible.shape[1]),
+        neg_visible = jnp.where(do_reset[:, None], _onehot(slot_r, state.neg_visible.shape[1]),
                                 state.neg_visible)
 
         # ---- negative stream forward + diffusion (only when needed) ----
@@ -187,21 +194,13 @@ class Engine:
 
         def diffusion_branch(op):
             neg_cache, neg_visible, acoustic_state, semantic_state = op
-            if h_neg_prefill is None:
-                vis_step = jnp.minimum(neg_visible + _onehot(state.neg_ptr, neg_visible.shape[1]), 1)
-                h_n, neg_cache2 = qwen2.forward(
-                    p["lm"], cfg.decoder, state.cur_embeds[:, None, :],
-                    state.neg_positions[:, None], qwen2.decode_bias(vis_step),
-                    cache=neg_cache, write_pos=state.neg_ptr)
-                h_neg = h_n[:, 0]
-                neg_visible2 = jnp.where(is_diff[:, None], vis_step, neg_visible)
-            else:
-                # step 0: the negative condition is the bare speech_start
-                # hidden computed during prefill (ref first diffusion step
-                # forwards negative_input_ids=[speech_start])
-                h_neg = h_neg_prefill
-                neg_cache2 = neg_cache
-                neg_visible2 = neg_visible
+            vis_step = jnp.minimum(neg_visible + _onehot(state.neg_ptr, neg_visible.shape[1]), 1)
+            h_n, neg_cache2 = qwen2.forward(
+                p["lm"], cfg.decoder, state.cur_embeds[:, None, :],
+                state.neg_positions[:, None], qwen2.decode_bias(vis_step),
+                cache=neg_cache, write_pos=state.neg_ptr)
+            h_neg = h_n[:, 0]
+            neg_visible2 = jnp.where(is_diff[:, None], vis_step, neg_visible)
 
             if self.inject_latent_noise:
                 # parity mode: frame f of sample b uses recorded noise
@@ -240,10 +239,9 @@ class Engine:
         acoustic_state = jax.tree_util.tree_map(sel, ac_state_new, acoustic_state)
         semantic_state = jax.tree_util.tree_map(sel, sem_state_new, semantic_state)
         neg_visible = jnp.where(is_diff[:, None], neg_visible_new, neg_visible)
-        # the step-0 negative context was already consumed during prefill
-        adv = is_diff if h_neg_prefill is None else jnp.zeros_like(is_diff)
-        neg_ptr = jnp.where(adv, state.neg_ptr + 1, state.neg_ptr)
-        neg_positions = jnp.where(adv, state.neg_positions + 1, state.neg_positions)
+        neg_ptr = jnp.where(is_diff, state.neg_ptr + 1, state.neg_ptr)
+        neg_positions = jnp.where(is_diff, state.neg_positions + 1, state.neg_positions)
+        neg_started = state.neg_started | is_diff
 
         # audio write at per-sample frame offsets
         def wr(buf, ch, start, emit):
@@ -264,11 +262,12 @@ class Engine:
             pos_cache=state.pos_cache, pos_visible=state.pos_visible,
             write_pos=state.write_pos, pos_positions=state.pos_positions,
             neg_cache=neg_cache, neg_visible=neg_visible, neg_ptr=neg_ptr,
-            neg_positions=neg_positions,
+            neg_positions=neg_positions, neg_started=neg_started,
             cur_embeds=cur_embeds, finished=finished, reach_max=reach_max,
             step=state.step + 1, max_step_per_sample=state.max_step_per_sample,
             acoustic_state=acoustic_state, semantic_state=semantic_state,
             frames=frames, audio=audio, tokens=tokens, rng=rng,
+            latent_noise=state.latent_noise,
         )
         return new_state, StepOutput(token=next_tok, audio_chunk=chunk,
                                      emitted=is_diff, finished=finished)
@@ -315,14 +314,10 @@ class Engine:
         pos_visible = jnp.zeros((b, self.cache_len), jnp.int32).at[:, :t0].set(attention_mask)
         init_len = attention_mask.sum(axis=-1)
 
-        # negative prefill: bare speech_start context (ref :378-385)
+        # negative stream starts lazily at the first diffusion step; until
+        # then cur_embeds below doubles as its pending first input (the
+        # reference's negative_input_ids=[speech_start] — ref :378-385)
         neg_cache = qwen2.kv_cache_init(dec, b, self.neg_cache_len, self.dtype)
-        ss_embed = p["lm"]["embed"][jnp.full((b, 1), gen.speech_start_id, jnp.int32)]
-        neg_bias = jnp.full((b, 1, 1, self.neg_cache_len), -1e9, jnp.float32)
-        neg_bias = neg_bias.at[:, :, :, 0].set(0.0)
-        h_neg0, neg_cache = qwen2.forward(p["lm"], dec, ss_embed,
-                                          jnp.zeros((b, 1), jnp.int32), neg_bias,
-                                          cache=neg_cache, write_pos=jnp.int32(0))
 
         max_steps_ps = jnp.minimum(
             jnp.int32(self.max_steps),
@@ -332,10 +327,11 @@ class Engine:
             pos_cache=cache, pos_visible=pos_visible,
             write_pos=jnp.int32(t0), pos_positions=init_len.astype(jnp.int32),
             neg_cache=neg_cache,
-            neg_visible=jnp.zeros((b, self.neg_cache_len), jnp.int32).at[:, 0].set(1),
-            neg_ptr=jnp.ones((b,), jnp.int32),
-            neg_positions=jnp.ones((b,), jnp.int32),
-            cur_embeds=jnp.zeros((b, h_dim), self.dtype),
+            neg_visible=jnp.zeros((b, self.neg_cache_len), jnp.int32),
+            neg_ptr=jnp.zeros((b,), jnp.int32),
+            neg_positions=jnp.zeros((b,), jnp.int32),
+            neg_started=jnp.zeros((b,), bool),
+            cur_embeds=p["lm"]["embed"][jnp.full((b,), gen.speech_start_id, jnp.int32)].astype(self.dtype),
             finished=jnp.zeros((b,), bool),
             reach_max=jnp.zeros((b,), bool),
             step=jnp.int32(0), max_step_per_sample=max_steps_ps,
@@ -348,7 +344,7 @@ class Engine:
             latent_noise=(latent_noise if latent_noise is not None
                           else jnp.zeros((1, b, cfg.acoustic_vae_dim), self.dtype)),
         )
-        return self._post_lm(p, state, h_last, h_neg_prefill=h_neg0[:, 0])
+        return self._post_lm(p, state, h_last)
 
     # ------------------------------------------------------------------
     def _step_impl(self, params: Params, state: GenState) -> Tuple[GenState, StepOutput]:
