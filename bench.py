@@ -1,0 +1,72 @@
+"""Benchmark: generated audio-seconds per second per chip (RTF) at 1.5B.
+
+Runs the REAL decode hot path — LM step + CFG negative step + ddpm-step
+diffusion scan + streaming vocoder + semantic re-encode per 7.5 Hz frame —
+on random 1.5B weights in bf16 (numerics identical to trained weights for
+throughput purposes), forced down the diffusion branch every step.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Baseline 1.0 == realtime (the reference publishes no RTF number; >1x
+realtime per chip is the BASELINE.md north-star target).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from vibevoice_tpu.configs import vibevoice_1_5b
+    from vibevoice_tpu.engine import generate as G
+    from vibevoice_tpu.models import vibevoice
+
+    cfg = vibevoice_1_5b()
+    sr = 24000
+    hop = cfg.speech_compress_ratio
+    frame_sec = hop / sr  # 0.1333s per frame at 7.5 Hz
+
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+
+    gen = G.GenerationConfig(
+        speech_start_id=151652, speech_end_id=151653, speech_diffusion_id=151654,
+        eos_id=151643, cfg_scale=1.3, ddpm_steps=10, force_diffusion=True,
+    )
+
+    batch, prompt_len, max_steps = 1, 64, 96
+    eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=batch,
+                   prompt_len=prompt_len, dtype=jnp.bfloat16)
+
+    ids = np.random.default_rng(0).integers(0, 1000, (batch, prompt_len)).astype(np.int32)
+    mask = np.ones((batch, prompt_len), np.int32)
+    sim = np.zeros((batch, prompt_len), bool)
+
+    state, _ = eng.prefill(ids, mask, sim)
+    # warmup: compile the step + a couple of iterations
+    state, _ = eng.decode_chunk(state, 2)
+    jax.block_until_ready(state.audio)
+
+    n_bench = 64
+    t0 = time.perf_counter()
+    state, _ = eng.decode_chunk(state, n_bench)
+    jax.block_until_ready(state.audio)
+    dt = time.perf_counter() - t0
+
+    frames = n_bench * batch  # force_diffusion: every step emits a frame
+    audio_sec = frames * frame_sec
+    rtf = audio_sec / dt
+
+    print(json.dumps({
+        "metric": "audio_sec_per_s_per_chip_1.5B",
+        "value": round(rtf, 4),
+        "unit": "audio-sec/s (RTF)",
+        "vs_baseline": round(rtf, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,99 @@ def _build_prompt(voice_frames: int):
     return ids, sim
 
 
+def _zero_noise_sampler(model):
+    """Replace the reference's x_T ~ N(0, I) with zeros (deterministic CFG
+    sampling) so batched runs need no noise replay."""
+    import types
+
+    def sample(self, condition, neg_condition, cfg_scale=3.0):
+        self.model.noise_scheduler.set_timesteps(self.ddpm_inference_steps)
+        condition = torch.cat([condition, neg_condition], dim=0)
+        speech = torch.zeros(condition.shape[0], self.config.acoustic_vae_dim).to(condition)
+        for t in self.model.noise_scheduler.timesteps:
+            half = speech[: len(speech) // 2]
+            combined = torch.cat([half, half], dim=0)
+            eps = self.model.prediction_head(combined, t.repeat(combined.shape[0]).to(combined),
+                                             condition=condition)
+            cond_eps, uncond_eps = torch.split(eps, len(eps) // 2, dim=0)
+            half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+            eps = torch.cat([half_eps, half_eps], dim=0)
+            speech = self.model.noise_scheduler.step(eps, t, speech).prev_sample
+        return speech[: len(speech) // 2]
+
+    model.sample_speech_tokens = types.MethodType(sample, model)
+
+
+def test_generate_batched_mixed_parity(ref_model):
+    """B=2, different prompt lengths (left padding), zero diffusion noise.
+
+    Exercises the per-sample branch mix the reference handles with Python
+    cache-shift loops (modeling_vibevoice_inference.py:609-639) and ours
+    handles with masked pointers."""
+    max_new = 12
+    cfg = tiny_jax_cfg()
+    params = tb.vibevoice_params_from_torch(ref_model)
+
+    ids_a, sim_a = _build_prompt(3)
+    ids_b, sim_b = _build_prompt(2)
+    ids_b = ids_b + [33, 34, SPEECH_START]
+    sim_b = sim_b + [False] * 3
+    t0 = max(len(ids_a), len(ids_b))
+    PAD = 2
+
+    def leftpad(ids, sim):
+        n = t0 - len(ids)
+        return [PAD] * n + ids, [0] * n + [1] * len(ids), [False] * n + sim
+
+    ia, ma, sa = leftpad(ids_a, sim_a)
+    ib, mb, sb = leftpad(ids_b, sim_b)
+    input_ids = torch.tensor([ia, ib])
+    attention_mask = torch.tensor([ma, mb])
+    speech_input_mask = torch.tensor([sa, sb])
+    torch.manual_seed(9)
+    wav = torch.randn(2, 3 * HOP) * 0.1
+    wav[1, 2 * HOP:] = 0.0
+    frame_mask = torch.tensor([[True] * 3, [True, True, False]])
+
+    _zero_noise_sampler(ref_model)
+    try:
+        ref_out = ref_model.generate(
+            input_ids=input_ids, attention_mask=attention_mask,
+            speech_tensors=wav, speech_masks=frame_mask,
+            speech_input_mask=speech_input_mask,
+            tokenizer=MockTok(), max_new_tokens=max_new, max_length_times=16,
+            cfg_scale=1.5, show_progress_bar=False, verbose=False,
+        )
+    finally:
+        del ref_model.sample_speech_tokens  # restore the class method
+    ref_tokens = ref_out.sequences[:, t0:].numpy()
+
+    gen = G.GenerationConfig(
+        speech_start_id=SPEECH_START, speech_end_id=SPEECH_END,
+        speech_diffusion_id=DIFF, eos_id=EOS, cfg_scale=1.5,
+        ddpm_steps=4, max_length_times=16,
+    )
+    eng = G.Engine(params, cfg, gen, max_steps=max_new, batch=2, prompt_len=t0,
+                   inject_latent_noise=True)
+    res = G.generate(eng, np.array([ia, ib]), np.array([ma, mb], np.int32),
+                     np.array([sa, sb]),
+                     speech_tensors=wav.numpy(), speech_frame_masks=frame_mask.numpy(),
+                     latent_noise=np.zeros((max_new, 2, 8), np.float32))
+
+    n = min(ref_tokens.shape[1], res.tokens.shape[1])
+    np.testing.assert_array_equal(res.tokens[:, :n], ref_tokens[:, :n])
+
+    for i in range(2):
+        ref_audio = ref_out.speech_outputs[i]
+        if ref_audio is None:
+            continue
+        ref_audio = ref_audio.numpy().reshape(-1)
+        ours = res.audio[i]
+        assert ours is not None
+        m = min(len(ours), len(ref_audio))
+        np.testing.assert_allclose(ours[:m], ref_audio[:m], atol=5e-4)
+
+
 @pytest.mark.parametrize("max_new", [16])
 def test_generate_token_and_audio_parity(ref_model, max_new):
     cfg = tiny_jax_cfg()

@@ -54,6 +54,8 @@ class GenerationConfig:
     max_new_tokens: int = 128
     max_length_times: float = 2.0
     do_sample: bool = False
+    # bench mode: force every step down the diffusion hot path
+    force_diffusion: bool = False
 
 
 class StepOutput(NamedTuple):
@@ -156,6 +158,8 @@ class Engine:
 
         logits = vibevoice.lm_logits(p, cfg, h_t).astype(jnp.float32) + self.token_bias
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if gen.force_diffusion:
+            next_tok = jnp.full_like(next_tok, gen.speech_diffusion_id)
         next_tok = jnp.where(state.finished, gen.eos_id, next_tok)
 
         finished = state.finished | (next_tok == gen.eos_id)

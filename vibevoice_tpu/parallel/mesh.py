@@ -95,8 +95,8 @@ def shard_params(params, mesh: Mesh, specs=None, cfg: Optional[VibeVoiceConfig] 
     if specs is None:
         specs = model_param_specs(params, cfg)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
-        is_leaf=lambda x: x is None)
+        lambda x, s: None if x is None else jax.device_put(x, NamedSharding(mesh, s or P())),
+        params, specs, is_leaf=lambda x: x is None)
 
 
 def batch_specs() -> Dict[str, P]:

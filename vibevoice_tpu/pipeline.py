@@ -1,0 +1,124 @@
+"""High-level TTS pipeline: the user-facing equivalent of the reference's
+`VibeVoiceForConditionalGenerationInference.from_pretrained` + processor +
+generate flow (demo/inference_from_file.py:182-400), TPU-native.
+
+Engines are cached per (batch, bucketed prompt length, max steps) so repeated
+calls with similar shapes reuse compiled programs.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import VibeVoiceConfig, vibevoice_1_5b
+from .engine import generate as G
+from .engine.streamer import AudioStreamer
+from .models import vibevoice as V
+from .processor.processor import VibeVoiceProcessor
+from .processor.text_tokenizer import ByteFallbackTokenizer, QwenTextTokenizer
+
+
+class VibeVoiceTTS:
+    def __init__(self, params, cfg: VibeVoiceConfig, tokenizer,
+                 dtype=jnp.bfloat16, ddpm_steps: int = 10, cfg_scale: float = 1.3,
+                 prompt_bucket: int = 256):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        self.ddpm_steps = ddpm_steps
+        self.cfg_scale = cfg_scale
+        self.prompt_bucket = prompt_bucket
+        self.processor = VibeVoiceProcessor(tokenizer,
+                                            speech_tok_compress_ratio=cfg.speech_compress_ratio)
+        self._engines: Dict[tuple, G.Engine] = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, model_path: str, tokenizer_path: Optional[str] = None,
+                        dtype=jnp.bfloat16, **kw) -> "VibeVoiceTTS":
+        from .utils.checkpoint import load_hf_checkpoint
+        params, cfg = load_hf_checkpoint(model_path, dtype=dtype)
+        tok_path = tokenizer_path or model_path
+        try:
+            tokenizer = QwenTextTokenizer(tok_path)
+        except Exception:
+            tokenizer = ByteFallbackTokenizer()
+        return cls(params, cfg, tokenizer, dtype=dtype, **kw)
+
+    @classmethod
+    def from_random(cls, cfg: Optional[VibeVoiceConfig] = None, seed: int = 0,
+                    dtype=jnp.bfloat16, **kw) -> "VibeVoiceTTS":
+        """Random-weight instance (smoke tests / benchmarking)."""
+        cfg = cfg or vibevoice_1_5b()
+        params = V.init_model(jax.random.PRNGKey(seed), cfg, dtype=dtype)
+        params["speech_scaling_factor"] = jnp.asarray(1.0)
+        params["speech_bias_factor"] = jnp.asarray(0.0)
+        return cls(params, cfg, ByteFallbackTokenizer(), dtype=dtype, **kw)
+
+    # ------------------------------------------------------------------
+    def _engine(self, batch: int, prompt_len: int, max_steps: int) -> G.Engine:
+        bucket = max(self.prompt_bucket,
+                     ((prompt_len + self.prompt_bucket - 1) // self.prompt_bucket)
+                     * self.prompt_bucket)
+        key = (batch, bucket, max_steps)
+        if key not in self._engines:
+            gen = G.GenerationConfig(
+                speech_start_id=self.tokenizer.speech_start_id,
+                speech_end_id=self.tokenizer.speech_end_id,
+                speech_diffusion_id=self.tokenizer.speech_diffusion_id,
+                eos_id=self.tokenizer.eos_id,
+                cfg_scale=self.cfg_scale, ddpm_steps=self.ddpm_steps,
+            )
+            self._engines[key] = G.Engine(self.params, self.cfg, gen,
+                                          max_steps=max_steps, batch=batch,
+                                          prompt_len=bucket, dtype=self.dtype)
+        return self._engines[key]
+
+    # ------------------------------------------------------------------
+    def generate(self, script, voice_samples=None, max_new_tokens: int = 256,
+                 seed: int = 0, audio_streamer: Optional[AudioStreamer] = None,
+                 stop_check_fn=None, show_progress: bool = False):
+        """script: str | list[str]; voice_samples: paths or arrays (or nested
+        per-script lists).  Returns GenerationResult + timing metrics."""
+        enc = self.processor(script, voice_samples)
+        b, t0 = enc.input_ids.shape
+        eng = self._engine(b, t0, max_new_tokens)
+
+        # re-pad prompt to the engine's bucketed length (left padding)
+        bucket = eng.prompt_len
+        ids = np.full((b, bucket), self.tokenizer.pad_id, np.int32)
+        att = np.zeros((b, bucket), np.int32)
+        sim = np.zeros((b, bucket), bool)
+        ids[:, bucket - t0:] = enc.input_ids
+        att[:, bucket - t0:] = enc.attention_mask
+        sim[:, bucket - t0:] = enc.speech_input_mask
+        # pad ids in masked-off region with a valid id (0) to keep embed
+        # lookups in range even for the ByteFallback pad id (-like) values
+        ids = np.where(ids < 0, 0, ids)
+
+        t_start = time.perf_counter()
+        res = G.generate(eng, ids, att, sim,
+                         speech_tensors=enc.speech_tensors,
+                         speech_frame_masks=enc.speech_masks,
+                         rng=jax.random.PRNGKey(seed),
+                         audio_streamer=audio_streamer,
+                         stop_check_fn=stop_check_fn,
+                         show_progress=show_progress)
+        wall = time.perf_counter() - t_start
+        audio_sec = sum(0 if a is None else len(a) / 24000.0 for a in res.audio)
+        metrics = {"wall_s": wall, "audio_sec": audio_sec,
+                   "rtf": audio_sec / wall if wall > 0 else 0.0,
+                   "steps": res.steps}
+        return res, metrics
+
+    def save_audio(self, audio, path: str) -> str:
+        return self.processor.save_audio(audio, path)
+
+
+__all__ = ["VibeVoiceTTS"]
