@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Single-script CLI with script-timing captions — equivalent of
+`/root/reference/demo/inference_simple_captions.py` (SRT/VTT alongside wav).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", type=str, default=None)
+    ap.add_argument("--txt_path", type=str, required=True)
+    ap.add_argument("--output_dir", type=str, default="./outputs")
+    ap.add_argument("--cfg_scale", type=float, default=1.3)
+    ap.add_argument("--ddpm_steps", type=int, default=10)
+    ap.add_argument("--max_new_tokens", type=int, default=512)
+    ap.add_argument("--caption_formats", nargs="*", default=["srt", "vtt", "json"])
+    args = ap.parse_args()
+
+    from vibevoice_tpu.pipeline import VibeVoiceTTS
+    from vibevoice_tpu.processor.captions_processor import VibeVoiceProcessorSimpleCaptions
+    from demo.inference_from_file import VoiceMapper, parse_txt_script
+
+    with open(args.txt_path, encoding="utf-8") as f:
+        script, speakers = parse_txt_script(f.read())
+
+    if args.model_path:
+        tts = VibeVoiceTTS.from_pretrained(args.model_path, cfg_scale=args.cfg_scale,
+                                           ddpm_steps=args.ddpm_steps)
+    else:
+        print("WARNING: random weights (smoke run)")
+        tts = VibeVoiceTTS.from_random(cfg_scale=args.cfg_scale, ddpm_steps=args.ddpm_steps)
+
+    mapper = VoiceMapper()
+    voices = []
+    for name in speakers:
+        p = mapper.get_voice_path(name)
+        voices.append(p if p else
+                      np.random.default_rng(0).normal(0, 0.02, 24000).astype(np.float32))
+
+    res, metrics = tts.generate(script, voices, max_new_tokens=args.max_new_tokens)
+    if res.audio[0] is None:
+        print("no audio generated")
+        return
+
+    cap_proc = VibeVoiceProcessorSimpleCaptions(
+        tts.tokenizer, speech_tok_compress_ratio=tts.cfg.speech_compress_ratio)
+    enc = tts.processor(script, voices)
+    base = os.path.splitext(os.path.basename(args.txt_path))[0]
+    out = os.path.join(args.output_dir, f"{base}.wav")
+    files = cap_proc.save_audio_with_captions(res.audio[0], out, enc.parsed_scripts[0],
+                                              caption_formats=args.caption_formats)
+    for k, v in files.items():
+        print(f"  {k}: {v}")
+    print(f"RTF={metrics['rtf']:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -144,8 +144,10 @@ class SolverState(NamedTuple):
 
 
 def init_state(cfg: SolverConfig, sample_shape: Tuple[int, ...], dtype=jnp.float32) -> SolverState:
+    # history always fp32 (solver math runs in an fp32 island, ref :992-993)
+    del dtype
     return SolverState(
-        history=jnp.zeros((cfg.solver_order,) + tuple(sample_shape), dtype),
+        history=jnp.zeros((cfg.solver_order,) + tuple(sample_shape), jnp.float32),
         lower_order_nums=jnp.zeros((), jnp.int32),
     )
 
@@ -186,11 +188,12 @@ def step(
     n = sched.num_steps
     x0 = convert_model_output(cfg, sched.sigmas[i], model_output, sample)
 
-    # shift history
+    # shift history (kept in fp32)
+    x0f = x0.astype(jnp.float32)
     if cfg.solver_order == 1:
-        history = state.history.at[0].set(x0)
+        history = state.history.at[0].set(x0f)
     else:
-        history = jnp.stack([state.history[-1], x0]) if cfg.solver_order == 2 else None
+        history = jnp.stack([state.history[-1], x0f]) if cfg.solver_order == 2 else None
 
     sample32 = sample.astype(jnp.float32)
     x0_32 = x0.astype(jnp.float32)
