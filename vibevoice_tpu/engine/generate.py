@@ -4,19 +4,24 @@ Re-designs the reference's Python-driven AR loop
 (`vibevoice/modular/modeling_vibevoice_inference.py:328-725`) as ONE jitted
 decode superstep per 7.5 Hz frame, with donated state:
 
-  LM step -> constrained token select -> per-sample flag updates ->
-  CFG negative-stream step -> diffusion `lax.scan` -> streaming vocoder
-  chunk -> semantic re-encode -> next input embeds
+  combined LM step -> constrained token select -> per-sample flag updates ->
+  diffusion `lax.scan` -> streaming vocoder chunk -> semantic re-encode ->
+  next input embeds
 
 Key re-designs vs the reference:
-  * The CFG negative context is a second preallocated KV cache with
-    PER-SAMPLE write pointers + visibility masks.  The reference's fragile
-    Python cache-shift bookkeeping for non-diffusing samples (:609-639) and
-    the speech_start negative reset (:563-580) become O(1) masked pointer
-    updates with identical semantics.
+  * The positive stream and the CFG negative stream run as ONE batched
+    `[2B]` LM forward over a unified KV cache `[L, 2B, S, KVH, D]` — the
+    decode step is weight-bandwidth-bound, so batching the two streams
+    halves per-step HBM traffic vs the reference's two sequential forwards.
+  * Negative-context bookkeeping (the reference's Python cache-shift loops
+    for non-diffusing samples :609-639 and the speech_start reset :563-580)
+    becomes per-sample write pointers + visibility masks: a slot written on
+    a non-diffusion step is simply never made visible and is overwritten at
+    the sample's next diffusion step — O(1), jit-native, step-equivalent
+    (verified against the reference in tests/test_generate_parity.py).
   * Tokenizer streaming caches (dict-of-tensors, :193-256) are fixed-shape
     conv state pytrees living inside the jit.
-  * Audio is accumulated on-device in a preallocated `[B, max_frames*hop]`
+  * Audio accumulates on-device in a preallocated `[B, max_frames*hop]`
     buffer via per-sample dynamic writes; streaming mode fetches per-step
     chunks to feed `AudioStreamer`.
 
@@ -26,7 +31,6 @@ overhead when no streaming consumer needs per-step chunks.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -66,17 +70,14 @@ class StepOutput(NamedTuple):
 
 
 class GenState(NamedTuple):
-    # positive stream
-    pos_cache: qwen2.KVCache
-    pos_visible: jnp.ndarray    # [B, S] int32
-    write_pos: jnp.ndarray      # scalar int32
-    pos_positions: jnp.ndarray  # [B] int32 next rope position
-    # negative (CFG) stream
-    neg_cache: qwen2.KVCache
-    neg_visible: jnp.ndarray    # [B, Sn] int32
-    neg_ptr: jnp.ndarray        # [B] int32 next write slot
-    neg_positions: jnp.ndarray  # [B] int32 next rope position
-    neg_started: jnp.ndarray    # [B] bool — first negative entry written
+    # unified cache: rows [:B] positive stream, rows [B:] negative stream
+    cache: qwen2.KVCache        # [L, 2B, S, KVH, D]
+    visible: jnp.ndarray        # [2B, S] int32
+    write_pos: jnp.ndarray      # scalar int32 — next positive slot
+    pos_positions: jnp.ndarray  # [B] int32 next rope position (positive)
+    neg_ptr: jnp.ndarray        # [B] int32 next negative write slot
+    neg_positions: jnp.ndarray  # [B] int32 next rope position (negative)
+    neg_started: jnp.ndarray    # [B] bool — first negative entry committed
     # loop state
     cur_embeds: jnp.ndarray     # [B, H] next LM input
     finished: jnp.ndarray       # [B] bool
@@ -124,7 +125,6 @@ class Engine:
         self.batch = batch
         self.prompt_len = prompt_len
         self.cache_len = prompt_len + max_steps
-        self.neg_cache_len = max_steps + 1
         self.dtype = dtype
 
         self.solver_cfg = ds.SolverConfig(
@@ -141,23 +141,29 @@ class Engine:
         self._chunk = jax.jit(self._chunk_impl, donate_argnums=(1,), static_argnums=(2,))
 
     # ------------------------------------------------------------------
-    def _post_lm(self, p: Params, state: GenState, h_t: jnp.ndarray) -> Tuple[GenState, StepOutput]:
-        """Everything after the positive LM forward for one step.
+    def _post_lm(self, p: Params, state: GenState, h_t: jnp.ndarray,
+                 h_neg: jnp.ndarray) -> Tuple[GenState, StepOutput]:
+        """Everything after the LM forward for one step.
 
-        `h_t` [B, H] is the hidden at the current position.  The negative
-        stream starts lazily: its first KV entry is written at a sample's
-        FIRST diffusion step, from the current input embeds at rope position
-        0 — exactly the reference's behavior where the first negative
-        forward replaces the bare speech_start ids with the current
-        `inputs_embeds` (ref :592-604, and ids path at step 0 where the
-        current input embed IS the speech_start embedding).
+        `h_t`/`h_neg` [B, H]: positive and negative hiddens at the current
+        position.  The negative stream starts lazily: its first KV entry is
+        committed at a sample's FIRST diffusion step, from the current input
+        embeds at rope position 0 — exactly the reference's behavior where
+        the first negative forward replaces the bare speech_start ids with
+        the current `inputs_embeds` (ref :592-604; at step 0 the current
+        input embed IS the speech_start embedding).
         """
         cfg, gen = self.cfg, self.gen
         b = h_t.shape[0]
         hop = self.hop
 
         logits = vibevoice.lm_logits(p, cfg, h_t).astype(jnp.float32) + self.token_bias
-        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if gen.do_sample:
+            rng_tok, _ = jax.random.split(state.rng)
+            rng_tok = jax.random.fold_in(rng_tok, state.step)
+            next_tok = jax.random.categorical(rng_tok, logits, axis=-1).astype(jnp.int32)
+        else:
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if gen.force_diffusion:
             next_tok = jnp.full_like(next_tok, gen.speech_diffusion_id)
         next_tok = jnp.where(state.finished, gen.eos_id, next_tok)
@@ -183,31 +189,25 @@ class Engine:
         do_reset = is_start & state.neg_started
         slot_r = jnp.maximum(state.neg_ptr - 1, 0)
         barange = jnp.arange(b)
-        nk, nv = state.neg_cache.k, state.neg_cache.v
-        cur_k = nk[:, barange, slot_r]          # [L, B, KVH, D]
-        cur_v = nv[:, barange, slot_r]
+        nrows = barange + b  # negative rows in the unified cache
+        nk, nv = state.cache.k, state.cache.v
+        cur_k = nk[:, nrows, slot_r]          # [L, B, KVH, D]
+        cur_v = nv[:, nrows, slot_r]
         m = do_reset[None, :, None, None]
-        nk = nk.at[:, barange, slot_r].set(jnp.where(m, nk[:, :, 0], cur_k))
-        nv = nv.at[:, barange, slot_r].set(jnp.where(m, nv[:, :, 0], cur_v))
-        neg_cache = qwen2.KVCache(k=nk, v=nv)
-        neg_visible = jnp.where(do_reset[:, None], _onehot(slot_r, state.neg_visible.shape[1]),
-                                state.neg_visible)
+        nk = nk.at[:, nrows, slot_r].set(jnp.where(m, nk[:, nrows, 0], cur_k))
+        nv = nv.at[:, nrows, slot_r].set(jnp.where(m, nv[:, nrows, 0], cur_v))
+        cache = qwen2.KVCache(k=nk, v=nv)
+        visible = state.visible
+        reset_vis = _onehot(slot_r, visible.shape[1])
+        visible = visible.at[b:].set(
+            jnp.where(do_reset[:, None], reset_vis, visible[b:]))
 
-        # ---- negative stream forward + diffusion (only when needed) ----
+        # ---- diffusion branch (latent -> audio -> semantic -> embeds) ----
         rng, k_noise = jax.random.split(state.rng)
 
         def diffusion_branch(op):
-            neg_cache, neg_visible, acoustic_state, semantic_state = op
-            vis_step = jnp.minimum(neg_visible + _onehot(state.neg_ptr, neg_visible.shape[1]), 1)
-            h_n, neg_cache2 = qwen2.forward(
-                p["lm"], cfg.decoder, state.cur_embeds[:, None, :],
-                state.neg_positions[:, None], qwen2.decode_bias(vis_step),
-                cache=neg_cache, write_pos=state.neg_ptr)
-            h_neg = h_n[:, 0]
-            neg_visible2 = jnp.where(is_diff[:, None], vis_step, neg_visible)
-
+            acoustic_state, semantic_state = op
             if self.inject_latent_noise:
-                # parity mode: frame f of sample b uses recorded noise
                 x_init = state.latent_noise[state.frames, jnp.arange(b)].astype(h_t.dtype)
             else:
                 x_init = jax.random.normal(k_noise, (b, cfg.acoustic_vae_dim), h_t.dtype)
@@ -221,19 +221,16 @@ class Engine:
             ac_embed = connectors.apply(p["acoustic_connector"], latent)
             sem_embed = connectors.apply(p["semantic_connector"], sem[:, 0])
             diff_embeds = ac_embed + sem_embed
-            return (neg_cache2, neg_visible2, ac_state2, sem_state2,
-                    h_neg, chunk[:, :, 0], diff_embeds)
+            return (ac_state2, sem_state2, chunk[:, :, 0], diff_embeds)
 
         def skip_branch(op):
-            neg_cache, neg_visible, acoustic_state, semantic_state = op
-            return (neg_cache, neg_visible, acoustic_state, semantic_state,
-                    jnp.zeros_like(h_t), jnp.zeros((b, hop), h_t.dtype),
+            acoustic_state, semantic_state = op
+            return (acoustic_state, semantic_state,
+                    jnp.zeros((b, hop), h_t.dtype),
                     jnp.zeros((b, cfg.decoder.hidden_size), h_t.dtype))
 
-        (neg_cache, neg_visible_new, ac_state_new, sem_state_new,
-         _h_neg, chunk, diff_embeds) = lax.cond(
-            any_diff, diffusion_branch, skip_branch,
-            (neg_cache, neg_visible, acoustic_state, semantic_state))
+        ac_state_new, sem_state_new, chunk, diff_embeds = lax.cond(
+            any_diff, diffusion_branch, skip_branch, (acoustic_state, semantic_state))
 
         # merge per-sample: diffusion samples take the new streaming states
         def sel(new, old):
@@ -242,7 +239,10 @@ class Engine:
 
         acoustic_state = jax.tree_util.tree_map(sel, ac_state_new, acoustic_state)
         semantic_state = jax.tree_util.tree_map(sel, sem_state_new, semantic_state)
-        neg_visible = jnp.where(is_diff[:, None], neg_visible_new, neg_visible)
+
+        # negative bookkeeping: commit the just-written slot only on diffusion
+        commit_vis = jnp.minimum(visible[b:] + _onehot(state.neg_ptr, visible.shape[1]), 1)
+        visible = visible.at[b:].set(jnp.where(is_diff[:, None], commit_vis, visible[b:]))
         neg_ptr = jnp.where(is_diff, state.neg_ptr + 1, state.neg_ptr)
         neg_positions = jnp.where(is_diff, state.neg_positions + 1, state.neg_positions)
         neg_started = state.neg_started | is_diff
@@ -263,10 +263,9 @@ class Engine:
         tokens = state.tokens.at[:, state.step].set(next_tok)
 
         new_state = GenState(
-            pos_cache=state.pos_cache, pos_visible=state.pos_visible,
+            cache=cache, visible=visible,
             write_pos=state.write_pos, pos_positions=state.pos_positions,
-            neg_cache=neg_cache, neg_visible=neg_visible, neg_ptr=neg_ptr,
-            neg_positions=neg_positions, neg_started=neg_started,
+            neg_ptr=neg_ptr, neg_positions=neg_positions, neg_started=neg_started,
             cur_embeds=cur_embeds, finished=finished, reach_max=reach_max,
             step=state.step + 1, max_step_per_sample=state.max_step_per_sample,
             acoustic_state=acoustic_state, semantic_state=semantic_state,
@@ -285,17 +284,18 @@ class Engine:
                       voice_latents: Optional[jnp.ndarray] = None,
                       latent_noise: Optional[jnp.ndarray] = None,
                       ) -> Tuple[GenState, StepOutput]:
-        """Process the prompt, build caches, and execute step 0."""
+        """Process the prompt, build the unified cache, execute step 0."""
         p, cfg, gen = params, self.cfg, self.gen
         b, t0 = input_ids.shape
         dec = cfg.decoder
         h_dim = dec.hidden_size
 
         rng, k_vae = jax.random.split(rng)
-        embeds = p["lm"]["embed"][input_ids]
+        embeds = p["lm"]["embed"][input_ids].astype(self.dtype)
         if speech_tensors is not None or voice_latents is not None:
             if voice_latents is None:
-                latents = vibevoice.encode_voice_prompts(p, cfg, k_vae, speech_tensors)
+                latents = vibevoice.encode_voice_prompts(
+                    p, cfg, k_vae, speech_tensors.astype(self.dtype))
             else:
                 latents = voice_latents  # injected (tests / precomputed)
             features = vibevoice.scale_latents(p, latents)
@@ -305,37 +305,44 @@ class Engine:
             order = jnp.argsort(~valid, stable=True)
             embeds = vibevoice.splice_speech_embeds(embeds, flat[order], speech_input_mask)
 
-        # positive prefill into the static cache
-        cache = qwen2.kv_cache_init(dec, b, self.cache_len, self.dtype)
+        # positive prefill into rows [:B] of the unified cache
+        pos_cache = qwen2.kv_cache_init(dec, b, self.cache_len, self.dtype)
         bias_t0 = qwen2.causal_bias(attention_mask, t0)
         bias = jnp.full((b, 1, t0, self.cache_len), -1e9, jnp.float32)
         bias = bias.at[:, :, :, :t0].set(bias_t0)
         pos = qwen2.positions_from_mask(attention_mask)
-        hidden, cache = qwen2.forward(p["lm"], dec, embeds, pos, bias,
-                                      cache=cache, write_pos=jnp.int32(0))
+        hidden, pos_cache = qwen2.forward(p["lm"], dec, embeds, pos, bias,
+                                          cache=pos_cache, write_pos=jnp.int32(0))
         h_last = hidden[:, -1]
 
-        pos_visible = jnp.zeros((b, self.cache_len), jnp.int32).at[:, :t0].set(attention_mask)
+        # negative pre-seed: speech_start kv at slot 0 of rows [B:] (committed
+        # lazily at the first diffusion step — see _post_lm docstring)
+        neg_cache = qwen2.kv_cache_init(dec, b, self.cache_len, self.dtype)
+        ss_embed = p["lm"]["embed"][jnp.full((b, 1), gen.speech_start_id, jnp.int32)].astype(self.dtype)
+        neg_bias = jnp.full((b, 1, 1, self.cache_len), -1e9, jnp.float32)
+        neg_bias = neg_bias.at[:, :, :, 0].set(0.0)
+        h_neg0, neg_cache = qwen2.forward(p["lm"], dec, ss_embed,
+                                          jnp.zeros((b, 1), jnp.int32), neg_bias,
+                                          cache=neg_cache, write_pos=jnp.int32(0))
+
+        cache = qwen2.KVCache(
+            k=jnp.concatenate([pos_cache.k, neg_cache.k], axis=1),
+            v=jnp.concatenate([pos_cache.v, neg_cache.v], axis=1))
+        visible = jnp.zeros((2 * b, self.cache_len), jnp.int32)
+        visible = visible.at[:b, :t0].set(attention_mask)
+
         init_len = attention_mask.sum(axis=-1)
-
-        # negative stream starts lazily at the first diffusion step; until
-        # then cur_embeds below doubles as its pending first input (the
-        # reference's negative_input_ids=[speech_start] — ref :378-385)
-        neg_cache = qwen2.kv_cache_init(dec, b, self.neg_cache_len, self.dtype)
-
         max_steps_ps = jnp.minimum(
             jnp.int32(self.max_steps),
             (gen.max_length_times * init_len).astype(jnp.int32))
 
         state = GenState(
-            pos_cache=cache, pos_visible=pos_visible,
+            cache=cache, visible=visible,
             write_pos=jnp.int32(t0), pos_positions=init_len.astype(jnp.int32),
-            neg_cache=neg_cache,
-            neg_visible=jnp.zeros((b, self.neg_cache_len), jnp.int32),
             neg_ptr=jnp.zeros((b,), jnp.int32),
             neg_positions=jnp.zeros((b,), jnp.int32),
             neg_started=jnp.zeros((b,), bool),
-            cur_embeds=p["lm"]["embed"][jnp.full((b,), gen.speech_start_id, jnp.int32)].astype(self.dtype),
+            cur_embeds=ss_embed[:, 0],
             finished=jnp.zeros((b,), bool),
             reach_max=jnp.zeros((b,), bool),
             step=jnp.int32(0), max_step_per_sample=max_steps_ps,
@@ -348,23 +355,37 @@ class Engine:
             latent_noise=(latent_noise if latent_noise is not None
                           else jnp.zeros((1, b, cfg.acoustic_vae_dim), self.dtype)),
         )
-        return self._post_lm(p, state, h_last)
+        return self._post_lm(p, state, h_last, h_neg0[:, 0])
 
     # ------------------------------------------------------------------
     def _step_impl(self, params: Params, state: GenState) -> Tuple[GenState, StepOutput]:
+        """One decode step: combined [2B] forward over the unified cache."""
         p, cfg = params, self.cfg
-        vis_step = jnp.minimum(
-            state.pos_visible
-            + _onehot(jnp.broadcast_to(state.write_pos, (self.batch,)), self.cache_len), 1)
+        b = self.batch
+
+        # visibility for this forward: positive rows see their new slot,
+        # negative rows see their pending slot (committed only on diffusion)
+        wp_vec = jnp.broadcast_to(state.write_pos, (b,))
+        vis = state.visible
+        vis_pos = jnp.minimum(vis[:b] + _onehot(wp_vec, self.cache_len), 1)
+        vis_neg = jnp.minimum(vis[b:] + _onehot(state.neg_ptr, self.cache_len), 1)
+        vis_step = jnp.concatenate([vis_pos, vis_neg], axis=0)
+
+        embeds2 = jnp.concatenate([state.cur_embeds, state.cur_embeds], axis=0)[:, None, :]
+        positions2 = jnp.concatenate([state.pos_positions, state.neg_positions])[:, None]
+        write2 = jnp.concatenate([wp_vec, state.neg_ptr])
+
         hidden, cache = qwen2.forward(
-            p["lm"], cfg.decoder, state.cur_embeds[:, None, :],
-            state.pos_positions[:, None], qwen2.decode_bias(vis_step),
-            cache=state.pos_cache, write_pos=state.write_pos)
+            p["lm"], cfg.decoder, embeds2, positions2, qwen2.decode_bias(vis_step),
+            cache=state.cache, write_pos=write2)
+        h_pos, h_neg = hidden[:b, 0], hidden[b:, 0]
+
         state = state._replace(
-            pos_cache=cache, pos_visible=vis_step,
+            cache=cache,
+            visible=state.visible.at[:b].set(vis_pos),
             write_pos=state.write_pos + 1,
             pos_positions=state.pos_positions + 1)
-        return self._post_lm(p, state, hidden[:, 0])
+        return self._post_lm(p, state, h_pos, h_neg)
 
     def _chunk_impl(self, params: Params, state: GenState, n: int) -> Tuple[GenState, StepOutput]:
         def body(s, _):
