@@ -115,8 +115,13 @@ class Engine:
 
     def __init__(self, params: Params, cfg: VibeVoiceConfig, gen: GenerationConfig,
                  max_steps: int, batch: int, prompt_len: int,
-                 dtype=jnp.float32, inject_latent_noise: bool = False):
+                 dtype=jnp.float32, inject_latent_noise: bool = False,
+                 use_flash_prefill: Optional[bool] = None):
         self.inject_latent_noise = inject_latent_noise
+        if use_flash_prefill is None:
+            # auto: long prompts with TPU-tileable head dim take the Pallas path
+            use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0
+        self.use_flash_prefill = use_flash_prefill
         self.params = params
         self.cfg = cfg
         self.gen = gen
@@ -312,7 +317,9 @@ class Engine:
         bias = bias.at[:, :, :, :t0].set(bias_t0)
         pos = qwen2.positions_from_mask(attention_mask)
         hidden, pos_cache = qwen2.forward(p["lm"], dec, embeds, pos, bias,
-                                          cache=pos_cache, write_pos=jnp.int32(0))
+                                          cache=pos_cache, write_pos=jnp.int32(0),
+                                          pad_mask=attention_mask,
+                                          use_flash=self.use_flash_prefill)
         h_last = hidden[:, -1]
 
         # negative pre-seed: speech_start kv at slot 0 of rows [B:] (committed

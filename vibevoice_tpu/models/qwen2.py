@@ -128,7 +128,9 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
            cos: jnp.ndarray, sin: jnp.ndarray,
            kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
            cache_slice: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
-           bias: jnp.ndarray) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+           bias: jnp.ndarray,
+           pad_mask: Optional[jnp.ndarray] = None,
+           use_flash: bool = False) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One decoder layer. If `cache_slice=(k_cache, v_cache, write_pos)` is
     given, new k/v are written at write_pos and attention reads the cache."""
     b, t, h = x.shape
@@ -167,7 +169,12 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
     else:
         k_att, v_att = k, v
 
-    att = _attend(q, k_att, v_att, bias)
+    if use_flash and t > 1:
+        # prefill: attention spans exactly the newly-written kv; O(T) memory
+        from ..ops.flash_attention import flash_attention_prefill
+        att = flash_attention_prefill(q, k, v, pad_mask, causal=True)
+    else:
+        att = _attend(q, k_att, v_att, bias)
     att = att.reshape(b, t, nh * hd) @ lp["o"]["w"]
     x = x + att
 
@@ -184,6 +191,8 @@ def forward(
     attn_bias: jnp.ndarray,              # [B, 1, T, S] additive fp32 bias
     cache: Optional[KVCache] = None,
     write_pos: Optional[jnp.ndarray] = None,
+    pad_mask: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack. With `cache`, keys/values are appended at
     `write_pos` (same for all samples — left-padded batching) and attention
@@ -195,7 +204,8 @@ def forward(
         cache_slice = None
         if cache is not None:
             cache_slice = (cache.k[li], cache.v[li], write_pos)
-        x, nkv = _layer(lp, cfg, x, cos, sin, None, cache_slice, attn_bias)
+        x, nkv = _layer(lp, cfg, x, cos, sin, None, cache_slice, attn_bias,
+                        pad_mask=pad_mask, use_flash=use_flash)
         if nkv is not None:
             new_k.append(nkv[0])
             new_v.append(nkv[1])
