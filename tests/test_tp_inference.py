@@ -1,0 +1,50 @@
+"""Tensor-parallel inference: engine decode with GSPMD-sharded params over a
+`model` mesh axis must match the unsharded run exactly (config 4 of
+BASELINE.json: 7B-class tensor-sharded — exercised here at tiny scale on the
+virtual CPU mesh)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.configs import tiny_config
+from vibevoice_tpu.engine import generate as G
+from vibevoice_tpu.models import vibevoice
+from vibevoice_tpu.parallel import mesh as M
+
+
+def _setup(params, cfg):
+    gen = G.GenerationConfig(speech_start_id=100, speech_end_id=101,
+                             speech_diffusion_id=102, eos_id=1,
+                             ddpm_steps=3, force_diffusion=True)
+    return G.Engine(params, cfg, gen, max_steps=6, batch=1, prompt_len=16)
+
+
+def test_tp_sharded_decode_matches_unsharded():
+    assert len(jax.devices()) >= 8
+    cfg = tiny_config()
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+
+    ids = np.random.default_rng(0).integers(5, 90, (1, 16)).astype(np.int32)
+    mask = np.ones((1, 16), np.int32)
+    sim = np.zeros((1, 16), bool)
+    rng = jax.random.PRNGKey(7)
+
+    eng = _setup(params, cfg)
+    state, _ = eng.prefill(ids, mask, sim, rng=rng)
+    state, _ = eng.decode_chunk(state, 5)
+    audio_ref = np.asarray(state.audio)
+
+    mesh = M.make_mesh(data=1, model=2)
+    sharded = M.shard_params(params, mesh, cfg=cfg)
+    eng2 = _setup(sharded, cfg)
+    state2, _ = eng2.prefill(ids, mask, sim, rng=rng)
+    state2, _ = eng2.decode_chunk(state2, 5)
+    audio_tp = np.asarray(state2.audio)
+
+    q = sharded["lm"]["layers"][0]["q"]["w"]
+    assert len(q.sharding.device_set) == 2  # actually sharded
+    np.testing.assert_allclose(audio_tp, audio_ref, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(state2.tokens), np.asarray(state.tokens))

@@ -443,11 +443,14 @@ def generate(
     audio_streamer=None,
     stop_check_fn=None,
     check_every: int = 8,
+    stream_chunk: int = 4,
     show_progress: bool = False,
 ) -> GenerationResult:
     """Host-side loop (ref generate :328-710).  With a streamer attached it
-    steps one frame at a time and feeds chunks; otherwise it advances in
-    `check_every`-step fused scans and only syncs flags between chunks."""
+    advances `stream_chunk` frames per dispatch (one fused scan + one
+    readback) and feeds the per-frame chunks to the streamer; otherwise it
+    advances in `check_every`-step scans and only syncs flags between
+    chunks."""
     state, out = engine.prefill(input_ids, attention_mask, speech_input_mask,
                                 speech_tensors, speech_frame_masks, rng, voice_latents,
                                 latent_noise)
@@ -476,14 +479,21 @@ def generate(
     _feed_streamer(out)
 
     if audio_streamer is not None or stop_check_fn is not None:
-        for _ in it:
+        m = max(1, stream_chunk)
+        while steps_done < engine.max_steps:
             if stop_check_fn is not None and stop_check_fn():
                 break
             if bool(np.asarray(state.finished).all()):
                 break
-            state, out = engine.step(state)
-            steps_done += 1
-            _feed_streamer(out)
+            n = min(m, engine.max_steps - steps_done)
+            state, outs = engine.decode_chunk(state, n)
+            steps_done += n
+            # one readback for the whole chunk, then feed frame by frame
+            outs_np = jax.tree_util.tree_map(np.asarray, outs)
+            for i in range(n):
+                _feed_streamer(StepOutput(
+                    token=outs_np.token[i], audio_chunk=outs_np.audio_chunk[i],
+                    emitted=outs_np.emitted[i], finished=outs_np.finished[i]))
     else:
         while steps_done < engine.max_steps:
             if bool(np.asarray(state.finished).all()):

@@ -80,12 +80,17 @@ def sample_speech_latents(
     cond2 = jnp.concatenate([condition, neg_condition], axis=0)
     state0 = ds.init_state(solver_cfg, x_init.shape, x_init.dtype)
 
-    def body(carry, inp):
+    # conditioning math hoisted out of the sequential solver chain: all
+    # adaLN modulations for all steps in one batched matmul
+    layer_mods, final_mod = diffusion_head.precompute_modulations(
+        params["diffusion_head"], dh_cfg, cond2, sched.timesteps)
+
+    def body(carry, i):
         x, st = carry
-        i, t = inp[0], inp[1]
         x2 = jnp.concatenate([x, x], axis=0)
-        tvec = jnp.full((x2.shape[0],), t, x.dtype)
-        eps = diffusion_head.apply(params["diffusion_head"], dh_cfg, x2, tvec, cond2)
+        eps = diffusion_head.apply_with_modulations(
+            params["diffusion_head"], dh_cfg, x2,
+            [m[i] for m in layer_mods], final_mod[i])
         cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
         guided = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
         noise = None
@@ -94,9 +99,8 @@ def sample_speech_latents(
         x_new, st = ds.step(solver_cfg, sched, i, st, guided, x, noise=noise)
         return (x_new, st), None
 
-    steps = jnp.stack([jnp.arange(sched.num_steps, dtype=jnp.int32),
-                       sched.timesteps.astype(jnp.int32)], axis=1)
-    (x, _), _ = lax.scan(body, (x_init, state0), steps)
+    (x, _), _ = lax.scan(body, (x_init, state0),
+                         jnp.arange(sched.num_steps, dtype=jnp.int32))
     return x
 
 

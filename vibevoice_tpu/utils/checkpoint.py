@@ -220,4 +220,28 @@ def save_native(params, path: str):
                  *[np.asarray(x) for x in flat])
 
 
-__all__ = ["params_from_flat", "load_hf_checkpoint", "save_native"]
+def load_native(path: str, like=None):
+    """Load a native checkpoint saved by `save_native`.
+
+    `like`: an abstract/concrete params tree with the target structure —
+    required for the npz fallback and used by orbax for restore typing.
+    """
+    import jax
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    if os.path.exists(npz_path):
+        if like is None:
+            raise ValueError("npz restore needs a `like` tree for structure")
+        data = np.load(npz_path)
+        flat, treedef = jax.tree_util.tree_flatten(like)
+        arrays = [jnp.asarray(data[k]) for k in data.files]
+        assert len(arrays) == len(flat), "checkpoint/tree leaf count mismatch"
+        return jax.tree_util.tree_unflatten(treedef, arrays)
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, like)
+        return ckptr.restore(os.path.abspath(path), abstract)
+    return ckptr.restore(os.path.abspath(path))
+
+
+__all__ = ["params_from_flat", "load_hf_checkpoint", "save_native", "load_native"]
