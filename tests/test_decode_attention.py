@@ -1,0 +1,47 @@
+"""Decode-attention kernel vs naive masked attention (interpret mode)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.ops import decode_attention as da
+
+
+def naive(q, k, v, visible):
+    b, h, d = q.shape
+    kvh = k.shape[2]
+    g = h // kvh
+    kr = jnp.repeat(k, g, axis=2)
+    vr = jnp.repeat(v, g, axis=2)
+    logits = jnp.einsum("bhd,bshd->bhs", q, kr) / np.sqrt(d)
+    logits = jnp.where(visible[:, None, :] > 0, logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhs,bshd->bhd", p, vr)
+
+
+@pytest.mark.parametrize("s,h,kvh,block", [(512, 8, 2, 128), (384, 4, 4, 128)])
+def test_decode_attention_matches_naive(s, h, kvh, block, monkeypatch):
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(da.pl, "pallas_call", interp)
+
+    d = 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv2 = jax.random.split(key, 3)
+    b = 2
+    q = jax.random.normal(kq, (b, h, d)) * 0.3
+    k = jax.random.normal(kk, (b, s, kvh, d)) * 0.3
+    v = jax.random.normal(kv2, (b, s, kvh, d)) * 0.3
+    # sparse visibility with per-sample prefix lengths (like the CFG stream)
+    lengths = jnp.array([s // 2, s - 10], jnp.int32)
+    vis = (jnp.arange(s)[None, :] < lengths[:, None]).astype(jnp.int32)
+    vis = vis.at[0, 5].set(0)  # hole, like a reset stream
+
+    out = da.decode_attention(q, k, v, vis, lengths, block_k=block)
+    ref = naive(q, k, v, vis)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

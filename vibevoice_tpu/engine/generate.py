@@ -122,6 +122,9 @@ class Engine:
             # auto: long prompts with TPU-tileable head dim take the Pallas path
             use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0
         self.use_flash_prefill = use_flash_prefill
+        # long caches: Pallas decode attention skips beyond-length blocks
+        self.use_flash_decode = ((prompt_len + max_steps) >= 4096
+                                 and cfg.decoder.head_dim % 128 == 0)
         self.params = params
         self.cfg = cfg
         self.gen = gen
@@ -382,9 +385,13 @@ class Engine:
         positions2 = jnp.concatenate([state.pos_positions, state.neg_positions])[:, None]
         write2 = jnp.concatenate([wp_vec, state.neg_ptr])
 
+        decode_ctx = None
+        if self.use_flash_decode:
+            lengths = jnp.concatenate([wp_vec + 1, state.neg_ptr + 1])
+            decode_ctx = (vis_step, lengths)
         hidden, cache = qwen2.forward(
             p["lm"], cfg.decoder, embeds2, positions2, qwen2.decode_bias(vis_step),
-            cache=state.cache, write_pos=write2)
+            cache=state.cache, write_pos=write2, decode_ctx=decode_ctx)
         h_pos, h_neg = hidden[:b, 0], hidden[b:, 0]
 
         state = state._replace(

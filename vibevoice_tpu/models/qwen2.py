@@ -130,7 +130,8 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
            cache_slice: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
            bias: jnp.ndarray,
            pad_mask: Optional[jnp.ndarray] = None,
-           use_flash: bool = False) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+           use_flash: bool = False,
+           decode_ctx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One decoder layer. If `cache_slice=(k_cache, v_cache, write_pos)` is
     given, new k/v are written at write_pos and attention reads the cache."""
     b, t, h = x.shape
@@ -173,6 +174,11 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
         # prefill: attention spans exactly the newly-written kv; O(T) memory
         from ..ops.flash_attention import flash_attention_prefill
         att = flash_attention_prefill(q, k, v, pad_mask, causal=True)
+    elif decode_ctx is not None and t == 1 and cache_slice is not None:
+        # long-context decode: Pallas kernel skips beyond-length cache blocks
+        from ..ops.decode_attention import decode_attention
+        visible, lengths = decode_ctx
+        att = decode_attention(q[:, 0], k_att, v_att, visible, lengths)[:, None]
     else:
         att = _attend(q, k_att, v_att, bias)
     att = att.reshape(b, t, nh * hd) @ lp["o"]["w"]
@@ -193,6 +199,7 @@ def forward(
     write_pos: Optional[jnp.ndarray] = None,
     pad_mask: Optional[jnp.ndarray] = None,
     use_flash: bool = False,
+    decode_ctx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack. With `cache`, keys/values are appended at
     `write_pos` (same for all samples — left-padded batching) and attention
@@ -205,7 +212,7 @@ def forward(
         if cache is not None:
             cache_slice = (cache.k[li], cache.v[li], write_pos)
         x, nkv = _layer(lp, cfg, x, cos, sin, None, cache_slice, attn_bias,
-                        pad_mask=pad_mask, use_flash=use_flash)
+                        pad_mask=pad_mask, use_flash=use_flash, decode_ctx=decode_ctx)
         if nkv is not None:
             new_k.append(nkv[0])
             new_v.append(nkv[1])

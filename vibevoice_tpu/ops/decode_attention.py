@@ -1,0 +1,136 @@
+"""Pallas decode attention with length-aware block skipping.
+
+The decode step attends one query position against a preallocated KV cache
+whose VALID prefix is usually much shorter than its static width (e.g. a
+64K-wide cache holding 2K tokens early in a 90-minute generation).  XLA's
+dense attention reads the full width every step; this kernel clamps the
+block index map at the per-sample valid length so Mosaic elides the DMAs of
+never-visible blocks — decode cache reads scale with the LIVE context, not
+the allocated width.
+
+Layout: q [B, H, D] (one position per row), cache k/v [B, S, KVH, D],
+visibility mask [B, S], lengths [B] (scalar-prefetched upper bound of the
+visible prefix).  Grid (B, S/block_k), k-blocks innermost, online-softmax
+scratch accumulators.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(len_ref, q_ref, k_ref, v_ref, vis_ref, o_ref,
+            m_scratch, l_scratch, acc_scratch,
+            *, scale: float, block_k: int, kvh: int, group: int):
+    b = pl.program_id(0)
+    ik = pl.program_id(1)
+    nk = pl.num_programs(1)
+    h = kvh * group
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    in_range = (ik * block_k) < len_ref[b]
+
+    @pl.when(in_range)
+    def _body():
+        q = q_ref[0]              # [H, D]
+        vis = vis_ref[0]          # [block_k]
+        for hk in range(kvh):
+            k = k_ref[0, :, hk, :]    # [bk, D]
+            v = v_ref[0, :, hk, :]
+            qh = q[hk * group:(hk + 1) * group]  # [G, D]
+            s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale  # [G, bk]
+            s = jnp.where(vis[None, :] > 0, s, NEG_INF)
+
+            rows = slice(hk * group, (hk + 1) * group)
+            m_prev = m_scratch[rows, 0:1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scratch[rows, 0:1] = alpha * l_scratch[rows, 0:1] + jnp.sum(p, -1, keepdims=True)
+            acc_scratch[rows, :] = acc_scratch[rows, :] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scratch[rows, 0:1] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        l = l_scratch[:, 0:1]
+        o_ref[0] = (acc_scratch[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def decode_attention(
+    q: jnp.ndarray,        # [B, H, D]
+    k: jnp.ndarray,        # [B, S, KVH, D]
+    v: jnp.ndarray,        # [B, S, KVH, D]
+    visible: jnp.ndarray,  # [B, S] int (1 = attendable)
+    lengths: jnp.ndarray,  # [B] int32: visible slots all < lengths[b]
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Returns [B, H, D]."""
+    b, h, d = q.shape
+    s = k.shape[1]
+    kvh = k.shape[2]
+    group = h // kvh
+    scale = 1.0 / (d ** 0.5)
+
+    block_k = min(block_k, s)
+    s_pad = -(-s // block_k) * block_k
+    if s_pad != s:
+        k = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        visible = jnp.pad(visible, ((0, 0), (0, s_pad - s)))
+    nk = s_pad // block_k
+    visible = visible.astype(jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    def _clamped(ib, ik, len_ref):
+        # beyond-length blocks re-map to the last needed block: unchanged
+        # index -> Mosaic skips the DMA
+        last = jnp.maximum((len_ref[ib] - 1) // block_k, 0)
+        return (ib, jnp.minimum(ik, last), 0, 0)
+
+    def _clamped_vis(ib, ik, len_ref):
+        last = jnp.maximum((len_ref[ib] - 1) // block_k, 0)
+        return (ib, jnp.minimum(ik, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nk),
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda ib, ik, len_ref: (ib, 0, 0)),
+            pl.BlockSpec((1, block_k, kvh, d), _clamped),
+            pl.BlockSpec((1, block_k, kvh, d), _clamped),
+            pl.BlockSpec((1, block_k), _clamped_vis),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), lambda ib, ik, len_ref: (ib, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(_kernel, scale=scale, block_k=block_k,
+                               kvh=kvh, group=group)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+    )(lengths, q, k, v, visible)
+
+
+__all__ = ["decode_attention"]
