@@ -58,6 +58,10 @@ class GenerationConfig:
     max_new_tokens: int = 128
     max_length_times: float = 2.0
     do_sample: bool = False
+    # CFG negative-context policy (ref kwargs 'refresh_negative', default True:
+    # reset the negative stream at every speech_start). False = stale mode
+    # (ref :512-527): the negative context grows every step and never resets.
+    refresh_negative: bool = True
     # bench mode: force every step down the diffusion hot path
     force_diffusion: bool = False
 
@@ -193,8 +197,10 @@ class Engine:
         # speech_start: reset negative context to its FIRST kv entry
         # (ref :563-580 — overwrite last slot with slot-0 kv, visibility = that
         # slot; a no-op before the negative stream has started, matching the
-        # reference where the cache is still empty)
+        # reference where the cache is still empty).  Stale mode never resets.
         do_reset = is_start & state.neg_started
+        if not gen.refresh_negative:
+            do_reset = jnp.zeros_like(do_reset)
         slot_r = jnp.maximum(state.neg_ptr - 1, 0)
         barange = jnp.arange(b)
         nrows = barange + b  # negative rows in the unified cache
@@ -248,12 +254,15 @@ class Engine:
         acoustic_state = jax.tree_util.tree_map(sel, ac_state_new, acoustic_state)
         semantic_state = jax.tree_util.tree_map(sel, sem_state_new, semantic_state)
 
-        # negative bookkeeping: commit the just-written slot only on diffusion
+        # negative bookkeeping: refresh mode commits the just-written slot only
+        # on diffusion steps; stale mode commits every step (the reference
+        # forwards+appends the negative stream unconditionally there)
+        commit = is_diff if gen.refresh_negative else (~finished)
         commit_vis = jnp.minimum(visible[b:] + _onehot(state.neg_ptr, visible.shape[1]), 1)
-        visible = visible.at[b:].set(jnp.where(is_diff[:, None], commit_vis, visible[b:]))
-        neg_ptr = jnp.where(is_diff, state.neg_ptr + 1, state.neg_ptr)
-        neg_positions = jnp.where(is_diff, state.neg_positions + 1, state.neg_positions)
-        neg_started = state.neg_started | is_diff
+        visible = visible.at[b:].set(jnp.where(commit[:, None], commit_vis, visible[b:]))
+        neg_ptr = jnp.where(commit, state.neg_ptr + 1, state.neg_ptr)
+        neg_positions = jnp.where(commit, state.neg_positions + 1, state.neg_positions)
+        neg_started = state.neg_started | commit
 
         # audio write at per-sample frame offsets
         def wr(buf, ch, start, emit):

@@ -45,10 +45,11 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, vis_ref, o_ref,
     @pl.when(in_range)
     def _body():
         q = q_ref[0]              # [H, D]
-        vis = vis_ref[0]          # [block_k]
+        vis = vis_ref[0, 0]       # [block_k]
+        d = q_ref.shape[-1]
         for hk in range(kvh):
-            k = k_ref[0, :, hk, :]    # [bk, D]
-            v = v_ref[0, :, hk, :]
+            k = k_ref[0][:, hk * d:(hk + 1) * d]    # [bk, D]
+            v = v_ref[0][:, hk * d:(hk + 1) * d]
             qh = q[hk * group:(hk + 1) * group]  # [G, D]
             s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale  # [G, bk]
@@ -93,28 +94,33 @@ def decode_attention(
         k = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
         visible = jnp.pad(visible, ((0, 0), (0, s_pad - s)))
+    # fuse (KVH, D) into the lane dimension: 3-D blocks keep Mosaic's
+    # (sublane, lane) tiling on (S, KVH*D)
+    k = k.reshape(b, s_pad, kvh * d)
+    v = v.reshape(b, s_pad, kvh * d)
     nk = s_pad // block_k
-    visible = visible.astype(jnp.int32)
+    # TPU blocks need sublane divisible by 8: broadcast the mask to 8 rows
+    visible = jnp.broadcast_to(visible.astype(jnp.int32)[:, None, :], (b, 8, s_pad))
     lengths = lengths.astype(jnp.int32)
 
     def _clamped(ib, ik, len_ref):
         # beyond-length blocks re-map to the last needed block: unchanged
         # index -> Mosaic skips the DMA
         last = jnp.maximum((len_ref[ib] - 1) // block_k, 0)
-        return (ib, jnp.minimum(ik, last), 0, 0)
+        return (ib, jnp.minimum(ik, last), 0)
 
     def _clamped_vis(ib, ik, len_ref):
         last = jnp.maximum((len_ref[ib] - 1) // block_k, 0)
-        return (ib, jnp.minimum(ik, last))
+        return (ib, 0, jnp.minimum(ik, last))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nk),
         in_specs=[
             pl.BlockSpec((1, h, d), lambda ib, ik, len_ref: (ib, 0, 0)),
-            pl.BlockSpec((1, block_k, kvh, d), _clamped),
-            pl.BlockSpec((1, block_k, kvh, d), _clamped),
-            pl.BlockSpec((1, block_k), _clamped_vis),
+            pl.BlockSpec((1, block_k, kvh * d), _clamped),
+            pl.BlockSpec((1, block_k, kvh * d), _clamped),
+            pl.BlockSpec((1, 8, block_k), _clamped_vis),
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda ib, ik, len_ref: (ib, 0, 0)),
         scratch_shapes=[
