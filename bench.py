@@ -55,7 +55,7 @@ def main():
     mask = np.ones((batch, prompt_len), np.int32)
     sim = np.zeros((batch, prompt_len), bool)
 
-    n_bench = 32
+    n_bench = 64
     t0 = time.perf_counter()
     state, _ = eng.prefill(ids, mask, sim)
     jax.block_until_ready(state.audio)
@@ -63,12 +63,14 @@ def main():
 
     t0 = time.perf_counter()
     state, _ = eng.decode_chunk(state, n_bench)  # warmup: compile + run
-    jax.block_until_ready(state.audio)
+    _ = int(np.asarray(state.frames).sum())      # true sync (tunnel-safe)
     print(f"# chunk warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # block_until_ready is not a reliable barrier over remote-device tunnels;
+    # a scalar device fetch is. Its ~ms latency is amortized over the chunk.
     t0 = time.perf_counter()
     state, _ = eng.decode_chunk(state, n_bench)
-    jax.block_until_ready(state.audio)
+    _ = int(np.asarray(state.frames).sum())
     dt = time.perf_counter() - t0
 
     frames = n_bench * batch  # force_diffusion: every step emits a frame
