@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..configs import Qwen2Config
+from ..utils.quantize import mm
 from .norms import rms_norm
 
 Params = Dict[str, Any]
@@ -138,13 +139,13 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     hn = rms_norm(x, lp["input_norm_w"], cfg.rms_norm_eps)
-    q = hn @ lp["q"]["w"]
+    q = mm(hn, lp["q"]["w"])
     if lp["q"]["b"] is not None:
         q = q + lp["q"]["b"]
-    k = hn @ lp["k"]["w"]
+    k = mm(hn, lp["k"]["w"])
     if lp["k"]["b"] is not None:
         k = k + lp["k"]["b"]
-    v = hn @ lp["v"]["w"]
+    v = mm(hn, lp["v"]["w"])
     if lp["v"]["b"] is not None:
         v = v + lp["v"]["b"]
     q = apply_rope(q.reshape(b, t, nh, hd), cos, sin)
@@ -181,11 +182,11 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
         att = decode_attention(q[:, 0], k_att, v_att, visible, lengths)[:, None]
     else:
         att = _attend(q, k_att, v_att, bias)
-    att = att.reshape(b, t, nh * hd) @ lp["o"]["w"]
+    att = mm(att.reshape(b, t, nh * hd), lp["o"]["w"])
     x = x + att
 
     hn = rms_norm(x, lp["post_norm_w"], cfg.rms_norm_eps)
-    mlp = (jax.nn.silu(hn @ lp["gate"]) * (hn @ lp["up"])) @ lp["down"]
+    mlp = mm(jax.nn.silu(mm(hn, lp["gate"])) * mm(hn, lp["up"]), lp["down"])
     return x + mlp, new_kv
 
 
@@ -241,11 +242,13 @@ def positions_from_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def logits(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray,
-           lm_head: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+           lm_head=None) -> jnp.ndarray:
     """LM head; tied to the embedding when `lm_head` is None
-    (ref modeling_vibevoice_inference.py:120-129)."""
-    w = params["embed"].T if lm_head is None else lm_head
-    return hidden @ w
+    (ref modeling_vibevoice_inference.py:120-129).  Accepts a quantized
+    (int8 dict) head."""
+    if lm_head is None:
+        return hidden @ params["embed"].T
+    return mm(hidden, lm_head)
 
 
 __all__ = [

@@ -26,7 +26,10 @@ from .processor.text_tokenizer import ByteFallbackTokenizer, QwenTextTokenizer
 class VibeVoiceTTS:
     def __init__(self, params, cfg: VibeVoiceConfig, tokenizer,
                  dtype=jnp.bfloat16, ddpm_steps: int = 10, cfg_scale: float = 1.3,
-                 prompt_bucket: int = 256):
+                 prompt_bucket: int = 256, quantize: Optional[str] = None):
+        if quantize == "int8":
+            from .utils.quantize import quantize_model
+            params = quantize_model(params, cfg.decoder.tie_word_embeddings)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
