@@ -201,19 +201,28 @@ def training_forward(
     acoustic_loss_mask: jnp.ndarray,   # [B, T] bool: positions w/ diffusion loss
     labels: Optional[jnp.ndarray] = None,  # [B, T] (-100 = ignore)
     ddpm_batch_mul: int = 1,
+    speeches_loss_input: Optional[jnp.ndarray] = None,  # [N, F]: frames w/ diffusion loss
+    injected_noise: Optional[jnp.ndarray] = None,      # [N*mul, latent] parity tests
+    injected_timesteps: Optional[jnp.ndarray] = None,  # [N*mul]
 ) -> TrainingOutput:
     """Training-shaped forward. Scaling factors must already be set
     (use `compute_scaling_stats` + tree update on first batch)."""
     dec = cfg.decoder
     k_vae, k_noise, k_t = jax.random.split(key, 3)
 
-    # embed text then splice speech features (ref :358-383)
+    # embed text then splice speech features (ref :358-383).  With
+    # `speeches_loss_input` the splice adds semantic features (ref :371);
+    # the default path splices acoustic-connector features only (ref :383).
     embeds = params["lm"]["embed"][input_ids]
     sem_connect = connectors.apply(params["semantic_connector"], speech_semantic_tensors)
     latents = encode_voice_prompts(params, cfg, k_vae, speech_tensors)
+    latents = lax.stop_gradient(latents)  # tokenizer is frozen (ref no_grad :287)
     audio_features = scale_latents(params, latents)           # [N, F, vae]
     ac_connect = connectors.apply(params["acoustic_connector"], audio_features)
-    combined = (ac_connect + sem_connect).reshape(-1, dec.hidden_size)
+    if speeches_loss_input is not None:
+        combined = (ac_connect + sem_connect).reshape(-1, dec.hidden_size)
+    else:
+        combined = ac_connect.reshape(-1, dec.hidden_size)
     flat_valid = speech_masks.reshape(-1)
     # keep only valid frames, packed to the front (matches [speech_masks] select)
     order = jnp.argsort(~flat_valid, stable=True)
@@ -235,7 +244,11 @@ def training_forward(
     else:
         ce_loss = jnp.zeros((), jnp.float32)
 
-    # diffusion loss (ref :411-455)
+    # diffusion loss (ref :411-455); with speeches_loss_input only the
+    # flagged frames contribute (ref :374-375)
+    if speeches_loss_input is not None:
+        flat_valid = (speech_masks & speeches_loss_input).reshape(-1)
+        order = jnp.argsort(~flat_valid, stable=True)
     flat_latents = audio_features.reshape(-1, cfg.acoustic_vae_dim)[order]
     cond = hidden.reshape(-1, dec.hidden_size)
     loss_sel = jnp.argsort(~acoustic_loss_mask.reshape(-1), stable=True)
@@ -245,8 +258,12 @@ def training_forward(
     speech_rep = jnp.repeat(flat_latents, ddpm_batch_mul, axis=0)
     cond_rep = jnp.repeat(cond_packed[: flat_latents.shape[0]], ddpm_batch_mul, axis=0)
     n_rep = speech_rep.shape[0]
-    noise = jax.random.normal(k_noise, speech_rep.shape, speech_rep.dtype)
-    timesteps = jax.random.randint(k_t, (n_rep,), 0, cfg.diffusion_head.ddpm_num_steps)
+    if injected_noise is not None:
+        noise = injected_noise.astype(speech_rep.dtype)
+        timesteps = injected_timesteps
+    else:
+        noise = jax.random.normal(k_noise, speech_rep.shape, speech_rep.dtype)
+        timesteps = jax.random.randint(k_t, (n_rep,), 0, cfg.diffusion_head.ddpm_num_steps)
 
     noisy = ds.add_noise(solver_tables, speech_rep, noise, timesteps)
     pred = diffusion_head.apply(params["diffusion_head"], cfg.diffusion_head,
