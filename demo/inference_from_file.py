@@ -66,7 +66,15 @@ def main():
     ap.add_argument("--ddpm_steps", type=int, default=10)
     ap.add_argument("--max_new_tokens", type=int, default=512)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny random model on CPU (smoke test, noise output)")
     args = ap.parse_args()
+
+    if args.tiny:
+        import os as _os
+        _os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
     from vibevoice_tpu.pipeline import VibeVoiceTTS
@@ -90,6 +98,12 @@ def main():
     if args.model_path:
         tts = VibeVoiceTTS.from_pretrained(args.model_path, cfg_scale=args.cfg_scale,
                                            ddpm_steps=args.ddpm_steps)
+    elif args.tiny:
+        import jax.numpy as jnp
+        from vibevoice_tpu.configs import tiny_config
+        print("WARNING: tiny random model (smoke run, output is noise)")
+        tts = VibeVoiceTTS.from_random(cfg=tiny_config(vocab_size=320), dtype=jnp.float32,
+                                       cfg_scale=args.cfg_scale, ddpm_steps=min(args.ddpm_steps, 4))
     else:
         print("WARNING: no --model_path; using random weights (smoke run)")
         tts = VibeVoiceTTS.from_random(cfg_scale=args.cfg_scale, ddpm_steps=args.ddpm_steps)
