@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import asyncio
 import queue
-import threading
 from typing import Iterable, List, Optional, Sequence
 
 import numpy as np

@@ -20,7 +20,6 @@ weights ~ N(0, weight_init_value), biases zero.
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
