@@ -58,6 +58,9 @@ class GenerationConfig:
     max_new_tokens: int = 128
     max_length_times: float = 2.0
     do_sample: bool = False
+    # solver variant: 'dpmsolver++' (default) or 'sde-dpmsolver++' (the
+    # reference gradio demo's override, gradio_demo.py:114-118)
+    algorithm_type: str = "dpmsolver++"
     # CFG negative-context policy (ref kwargs 'refresh_negative', default True:
     # reset the negative stream at every speech_start). False = stale mode
     # (ref :512-527): the negative context grows every step and never resets.
@@ -143,6 +146,7 @@ class Engine:
             num_train_timesteps=cfg.diffusion_head.ddpm_num_steps,
             beta_schedule=cfg.diffusion_head.ddpm_beta_schedule,
             prediction_type=cfg.diffusion_head.prediction_type,
+            algorithm_type=gen.algorithm_type,
         )
         self.tables = ds.make_tables(self.solver_cfg)
         self.sched = ds.set_timesteps(self.solver_cfg, self.tables, gen.ddpm_steps)
@@ -225,8 +229,10 @@ class Engine:
                 x_init = state.latent_noise[state.frames, jnp.arange(b)].astype(h_t.dtype)
             else:
                 x_init = jax.random.normal(k_noise, (b, cfg.acoustic_vae_dim), h_t.dtype)
+            sde_rng = k_noise if gen.algorithm_type.startswith("sde") else None
             latent = vibevoice.sample_speech_latents(
-                p, cfg, self.solver_cfg, self.sched, h_t, h_neg, gen.cfg_scale, x_init)
+                p, cfg, self.solver_cfg, self.sched, h_t, h_neg, gen.cfg_scale, x_init,
+                sde_rng=sde_rng)
             scaled = vibevoice.unscale_latents(p, latent)
             chunk, ac_state2 = tokenizer.decoder_apply_streaming(
                 p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :], acoustic_state)

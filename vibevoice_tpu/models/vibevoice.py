@@ -70,6 +70,7 @@ def sample_speech_latents(
     cfg_scale: float,
     x_init: jnp.ndarray,         # [N, latent] initial noise ~ N(0, I)
     step_noise: Optional[jnp.ndarray] = None,  # [steps, N, latent] for SDE solver
+    sde_rng: Optional[jnp.ndarray] = None,     # PRNG key: draw SDE noise per step
 ) -> jnp.ndarray:
     """DPM-Solver sampling with classifier-free guidance, as one lax.scan.
 
@@ -96,6 +97,9 @@ def sample_speech_latents(
         noise = None
         if step_noise is not None:
             noise = step_noise[i]
+        elif sde_rng is not None:
+            noise = jax.random.normal(jax.random.fold_in(sde_rng, i),
+                                      x.shape, jnp.float32)
         x_new, st = ds.step(solver_cfg, sched, i, st, guided, x, noise=noise)
         return (x_new, st), None
 

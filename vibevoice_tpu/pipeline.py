@@ -26,7 +26,12 @@ from .processor.text_tokenizer import ByteFallbackTokenizer, QwenTextTokenizer
 class VibeVoiceTTS:
     def __init__(self, params, cfg: VibeVoiceConfig, tokenizer,
                  dtype=jnp.bfloat16, ddpm_steps: int = 10, cfg_scale: float = 1.3,
-                 prompt_bucket: int = 256, quantize: Optional[str] = None):
+                 prompt_bucket: int = 256, quantize: Optional[str] = None,
+                 do_sample: bool = False, refresh_negative: bool = True,
+                 algorithm_type: str = "dpmsolver++"):
+        self.do_sample = do_sample
+        self.refresh_negative = refresh_negative
+        self.algorithm_type = algorithm_type
         if quantize == "int8":
             from .utils.quantize import quantize_model
             params = quantize_model(params, cfg.decoder.tie_word_embeddings)
@@ -77,6 +82,8 @@ class VibeVoiceTTS:
                 speech_diffusion_id=self.tokenizer.speech_diffusion_id,
                 eos_id=self.tokenizer.eos_id,
                 cfg_scale=self.cfg_scale, ddpm_steps=self.ddpm_steps,
+                do_sample=self.do_sample, refresh_negative=self.refresh_negative,
+                algorithm_type=self.algorithm_type,
             )
             self._engines[key] = G.Engine(self.params, self.cfg, gen,
                                           max_steps=max_steps, batch=batch,
