@@ -1,0 +1,55 @@
+"""Fused Block1D-chain kernel vs the reference per-op implementation
+(interpret mode)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.configs import AcousticTokenizerConfig
+from vibevoice_tpu.models import tokenizer as tok
+from vibevoice_tpu.ops import fused_blocks as fb
+from vibevoice_tpu.ops.conv import conv_state_init
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fb.pl, "pallas_call", interp)
+
+
+@pytest.mark.parametrize("t,d,n_blocks", [(1, 64, 3), (8, 128, 2), (4, 64, 1)])
+def test_fused_chain_matches_blocks(interpret_pallas, t, d, n_blocks):
+    cfg = AcousticTokenizerConfig()
+    key = jax.random.PRNGKey(0)
+    blocks = [tok._block_init(k, d, cfg, jnp.float32)
+              for k in jax.random.split(key, n_blocks)]
+    # randomize layer scales away from 1e-6 for a meaningful test
+    for i, bp in enumerate(blocks):
+        kk = jax.random.fold_in(key, 100 + i)
+        bp["gamma"] = jax.random.normal(kk, (d,)) * 0.1
+        bp["ffn_gamma"] = jax.random.normal(jax.random.fold_in(kk, 1), (d,)) * 0.1
+
+    x = jax.random.normal(jax.random.fold_in(key, 7), (1, t, d)) * 0.5
+    ctx = jax.random.normal(jax.random.fold_in(key, 8), (n_blocks, 6, d)) * 0.5
+
+    # reference: per-block streaming apply
+    states = [type(conv_state_init(1, d, 7))(buf=ctx[i][None]) for i in range(n_blocks)]
+    h = x
+    slist = list(states)
+    for i, bp in enumerate(blocks):
+        h = tok._block_apply(bp, h, cfg.layernorm_eps, d, slist)
+    ref = h[0]
+    new_states_ref = jnp.stack([s.buf[0] for s in slist])
+
+    packed = fb.pack_stage(blocks)
+    y, new_ctx = fb.fused_block_chain(packed, x[0], ctx, eps=cfg.layernorm_eps)
+
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_ctx), np.asarray(new_states_ref),
+                               atol=2e-5, rtol=1e-4)

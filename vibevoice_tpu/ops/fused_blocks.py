@@ -1,0 +1,183 @@
+"""Fused Block1D-chain Pallas kernel for the vocoder/semantic conv stacks.
+
+A tokenizer stage is a sequential chain of `Block1D`s (RMSNorm -> depthwise
+conv -> layer-scale -> residual -> RMSNorm -> GELU FFN -> layer-scale ->
+residual, ref modular_vibevoice_tokenizer.py:620-684).  At streaming decode
+the per-frame T is tiny (1..8), so XLA executes ~8 small ops per block with
+poor arithmetic intensity.  This kernel runs the WHOLE chain in one
+`pallas_call`: grid (block, ffn_tile), the running activation lives in VMEM
+scratch across all grid steps, and only the FFN weight tiles stream from HBM
+— one kernel instead of ~8N ops.
+
+Weight packing (per stage, N blocks, dim D, hidden F = ffn_expansion*D):
+  vecs  [N, 8, D]   rows: 0 norm_w, 1 mixer_b, 2 gamma, 3 ffn_norm_w,
+                          4 ffn_gamma, 5 ffn2_b, 6-7 zero
+  mixw  [N, 8, D]   rows 0..6 = depthwise kernel taps, row 7 zero
+  w1    [N, D+8, F] rows 0..D-1 = ffn1 weight, row D = ffn1 bias (folded via
+                     an all-ones activation row), rows D+1.. zero
+  w2    [N, F, D]
+  ctx   [N, 8, D]   rows 0..5 = mixer streaming context (last 6 inputs)
+
+Activations: x [T8, D] where T8 = 8 (T <= 8 frames padded; static T).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CTX = 6  # depthwise kernel 7 -> 6 context rows
+
+
+def _kernel(vecs_ref, mixw_ref, w1_ref, w2_ref, ctx_in_ref,
+            x_ref, o_ref, ctx_out_ref,
+            x_scratch, y_scratch, hn_scratch, acc_scratch,
+            *, t: int, d: int, tile_f: int, eps: float):
+    ib = pl.program_id(0)
+    it = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
+
+    @pl.when(it == 0)
+    def _mixer():
+        @pl.when(ib == 0)
+        def _load_x():
+            x_scratch[:] = x_ref[:].astype(jnp.float32)
+
+        x = x_scratch[:]
+        norm_w = vecs_ref[0, 0]
+        mixer_b = vecs_ref[0, 1]
+        gamma = vecs_ref[0, 2]
+        ffn_norm_w = vecs_ref[0, 3]
+
+        h = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+        h = h * norm_w[None, :]
+        # streaming context: rows [ctx(6) | h(:t)]
+        ctx = ctx_in_ref[0][:CTX].astype(jnp.float32)   # [6, D]
+        # new context = last 6 rows of [ctx; h[:t]]
+        if t >= CTX:
+            new_ctx = h[t - CTX:t]
+        else:
+            new_ctx = jnp.concatenate([ctx[t:], h[:t]], axis=0)
+        ctx_out_ref[0, :CTX] = new_ctx.astype(ctx_out_ref.dtype)
+        ctx_out_ref[0, CTX:] = jnp.zeros((8 - CTX, d), ctx_out_ref.dtype)
+
+        # causal depthwise conv, taps k=0..6 over [ctx; h]
+        m = jnp.zeros((x_scratch.shape[0], d), jnp.float32)
+        for k in range(7):
+            tap = mixw_ref[0, k].astype(jnp.float32)[None, :]
+            # full[i + k] for output row i; full row j<6 -> ctx[j], else h[j-6]
+            for i in range(t):
+                j = i + k
+                src = ctx[j] if j < CTX else h[j - CTX]
+                m = m.at[i].add(src * tap[0])
+        m = m + mixer_b[None, :]
+        y = x + gamma[None, :] * m
+        y_scratch[:] = y
+        hn = y * jax.lax.rsqrt(jnp.mean(y * y, axis=-1, keepdims=True) + eps)
+        hn_scratch[:] = hn * ffn_norm_w[None, :]
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    # FFN tile: a = gelu([hn | 1 | 0...] @ w1_tile); acc += a @ w2_tile
+    hn = hn_scratch[:]
+    ones = jnp.ones((hn.shape[0], 1), jnp.float32)
+    zeros = jnp.zeros((hn.shape[0], 7), jnp.float32)
+    hn_aug = jnp.concatenate([hn, ones, zeros], axis=-1)       # [T8, D+8]
+    w1 = w1_ref[0].astype(jnp.float32)                          # [D+8, tile_f]
+    a = jax.lax.dot_general(hn_aug, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    a = jax.nn.gelu(a, approximate=False)
+    w2 = w2_ref[0].astype(jnp.float32)                          # [tile_f, D]
+    acc_scratch[:] = acc_scratch[:] + jax.lax.dot_general(
+        a, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(it == nt - 1)
+    def _finish_block():
+        ffn_gamma = vecs_ref[0, 4]
+        ffn2_b = vecs_ref[0, 5]
+        x_scratch[:] = y_scratch[:] + ffn_gamma[None, :] * (acc_scratch[:] + ffn2_b[None, :])
+
+        @pl.when(ib == nb - 1)
+        def _emit():
+            o_ref[:] = x_scratch[:].astype(o_ref.dtype)
+
+
+def pack_stage(blocks, dtype=jnp.float32):
+    """Stack a stage's Block1D param dicts into the kernel's packed layout."""
+    n = len(blocks)
+    d = blocks[0]["norm_w"].shape[0]
+    f = blocks[0]["ffn1"]["w"].shape[1]
+    vecs = jnp.zeros((n, 8, d), dtype)
+    mixw = jnp.zeros((n, 8, d), dtype)
+    w1 = jnp.zeros((n, d + 8, f), dtype)
+    w2 = jnp.zeros((n, f, d), dtype)
+    for i, bp in enumerate(blocks):
+        vecs = vecs.at[i, 0].set(bp["norm_w"].astype(dtype))
+        vecs = vecs.at[i, 1].set((bp["mixer"]["b"] if bp["mixer"]["b"] is not None
+                                  else jnp.zeros(d)).astype(dtype))
+        vecs = vecs.at[i, 2].set(bp["gamma"].astype(dtype))
+        vecs = vecs.at[i, 3].set(bp["ffn_norm_w"].astype(dtype))
+        vecs = vecs.at[i, 4].set(bp["ffn_gamma"].astype(dtype))
+        vecs = vecs.at[i, 5].set((bp["ffn2"]["b"] if bp["ffn2"]["b"] is not None
+                                  else jnp.zeros(d)).astype(dtype))
+        # depthwise weight [7, 1, D] -> taps [7, D]
+        mixw = mixw.at[i, :7].set(bp["mixer"]["w"][:, 0, :].astype(dtype))
+        w1 = w1.at[i, :d].set(bp["ffn1"]["w"].astype(dtype))
+        if bp["ffn1"]["b"] is not None:
+            w1 = w1.at[i, d].set(bp["ffn1"]["b"].astype(dtype))
+        w2 = w2.at[i].set(bp["ffn2"]["w"].astype(dtype))
+    return {"vecs": vecs, "mixw": mixw, "w1": w1, "w2": w2}
+
+
+def fused_block_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
+                      eps: float = 1e-5, tile_f: int = 512
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the fused chain for ONE batch row.
+
+    x [T, D] (T <= 8), ctx [N, 6, D] -> (y [T, D], new_ctx [N, 6, D]).
+    """
+    n, _, d = packed["vecs"].shape
+    f = packed["w1"].shape[2]
+    t = x.shape[0]
+    assert t <= 8
+    t8 = 8
+    tile_f = min(tile_f, f)
+    nt = -(-f // tile_f)
+    x_pad = jnp.pad(x, ((0, t8 - t), (0, 0)))
+    ctx_pad = jnp.pad(ctx, ((0, 0), (0, 8 - CTX), (0, 0)))
+
+    kernel = functools.partial(_kernel, t=t, d=d, tile_f=tile_f, eps=eps)
+    y, new_ctx = pl.pallas_call(
+        kernel,
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
+            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
+            pl.BlockSpec((1, d + 8, tile_f), lambda ib, it: (ib, 0, it)),
+            pl.BlockSpec((1, tile_f, d), lambda ib, it: (ib, it, 0)),
+            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
+            pl.BlockSpec((t8, d), lambda ib, it: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((t8, d), lambda ib, it: (0, 0)),
+            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t8, d), x.dtype),
+            jax.ShapeDtypeStruct((n, 8, d), ctx.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((t8, d), jnp.float32),
+            pltpu.VMEM((t8, d), jnp.float32),
+            pltpu.VMEM((t8, d), jnp.float32),
+            pltpu.VMEM((t8, d), jnp.float32),
+        ],
+    )(packed["vecs"], packed["mixw"], packed["w1"], packed["w2"], ctx_pad, x_pad)
+    return y[:t], new_ctx[:, :CTX]
+
+
+__all__ = ["pack_stage", "fused_block_chain", "CTX"]
