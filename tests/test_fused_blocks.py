@@ -53,3 +53,41 @@ def test_fused_chain_matches_blocks(interpret_pallas, t, d, n_blocks):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(new_ctx), np.asarray(new_states_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_decoder_streaming_matches_regular(interpret_pallas):
+    from vibevoice_tpu.configs import AcousticTokenizerConfig
+    cfg = AcousticTokenizerConfig(
+        vae_dim=8, encoder_n_filters=4, decoder_n_filters=4,
+        encoder_ratios=(4, 2, 2), decoder_ratios=(4, 2, 2),
+        encoder_depths=(1, 2, 1, 2),
+    )
+    key = jax.random.PRNGKey(0)
+    params = tok.init_decoder(key, cfg)
+    # randomize layer scales for a meaningful comparison
+    def bump(p, k):
+        for stage in p["stages"]:
+            for bp in stage:
+                k = jax.random.fold_in(k, 1)
+                bp["gamma"] = jax.random.normal(k, bp["gamma"].shape) * 0.1
+                bp["ffn_gamma"] = jax.random.normal(jax.random.fold_in(k, 2),
+                                                    bp["ffn_gamma"].shape) * 0.1
+        return p
+    params = bump(params, key)
+
+    packs = tok.pack_decoder_stages(params, cfg)
+    assert len(packs) >= 2  # stages at T=1 and T<=8 qualify
+
+    z = jax.random.normal(jax.random.fold_in(key, 9), (2, 3, 8)) * 0.5
+    st_a = tok.decoder_state_init(cfg, 2)
+    st_b = tok.decoder_state_init(cfg, 2)
+    outs_a, outs_b = [], []
+    for f in range(3):
+        ya, st_a = tok.decoder_apply_streaming(params, cfg, z[:, f:f + 1], st_a)
+        yb, st_b = tok.decoder_apply_streaming_fused(params, cfg, z[:, f:f + 1],
+                                                     st_b, packs)
+        outs_a.append(ya)
+        outs_b.append(yb)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs_b, 1)),
+                               np.asarray(jnp.concatenate(outs_a, 1)),
+                               atol=3e-5, rtol=1e-4)

@@ -237,6 +237,73 @@ def decoder_apply(params: Params, cfg: AcousticTokenizerConfig, z: jnp.ndarray,
     return h
 
 
+def pack_decoder_stages(params: Params, cfg: AcousticTokenizerConfig,
+                        max_frames: int = 8):
+    """Precompute fused-kernel weight packs for decoder stages whose
+    per-frame T is small enough to keep activations VMEM-resident
+    (streaming decode: stage i runs at T = prod(ratios[:i]) frames)."""
+    from ..ops import fused_blocks as fb
+    depths = cfg.decoder_depths_resolved()
+    strides = list(cfg.decoder_ratios)
+    packs = {}
+    t = 1
+    for i in range(len(depths)):
+        if i > 0:
+            t *= strides[i - 1]
+        if t <= max_frames and depths[i] > 0:
+            packs[i] = (fb.pack_stage(params["stages"][i]), t)
+    return packs
+
+
+def decoder_apply_streaming_fused(params: Params, cfg: AcousticTokenizerConfig,
+                                  z: jnp.ndarray, states, fused_packs):
+    """Streaming decode using the fused Block1D-chain kernel for small-T
+    stages (the weight-heavy front of the vocoder); identical numerics to
+    `decoder_apply_streaming`."""
+    from ..ops import fused_blocks as fb
+    depths = cfg.decoder_depths_resolved()
+    strides = list(cfg.decoder_ratios)
+    s = list(states)
+    h = z
+    for i in range(len(depths)):
+        up = params["up"][i]
+        if i == 0:
+            st = s.pop(0)
+            h, new_st = causal_conv1d_streaming(h, st, up["w"], up["b"])
+            s.append(new_st)
+        else:
+            r = strides[i - 1]
+            st = s.pop(0)
+            h, new_st = causal_conv_transpose1d_streaming(h, st, up["w"], up["b"], stride=r)
+            s.append(new_st)
+        if i in fused_packs:
+            packed, t_stage = fused_packs[i]
+            assert h.shape[1] == t_stage, (h.shape, t_stage)
+            # gather this stage's mixer states -> [B, N, 6, D]
+            n = depths[i]
+            stage_states = [s.pop(0) for _ in range(n)]
+            ctx = jnp.stack([st.buf for st in stage_states], axis=1)
+
+            def _one(row_x, row_ctx):
+                return fb.fused_block_chain(packed, row_x, row_ctx,
+                                            eps=cfg.layernorm_eps)
+
+            h, new_ctx = jax.vmap(_one)(h, ctx)
+            for j in range(n):
+                s.append(ConvState(buf=new_ctx[:, j]))
+        else:
+            groups_of = (lambda d: d) if cfg.mixer_layer == "depthwise_conv" else (lambda d: 1)
+            for bp in params["stages"][i]:
+                h = _block_apply(bp, h, cfg.layernorm_eps, groups_of(h.shape[-1]), s)
+    if params["final_norm_w"] is not None:
+        h = rms_norm(h, params["final_norm_w"], cfg.layernorm_eps)
+    hp = params["head"]
+    st = s.pop(0)
+    h, new_st = causal_conv1d_streaming(h, st, hp["w"], hp["b"])
+    s.append(new_st)
+    return h, s
+
+
 def encoder_apply_streaming(params: Params, cfg, x: jnp.ndarray, states):
     """Functional streaming encode: returns (latents, new_states)."""
     s = list(states)
