@@ -123,8 +123,13 @@ class Engine:
     def __init__(self, params: Params, cfg: VibeVoiceConfig, gen: GenerationConfig,
                  max_steps: int, batch: int, prompt_len: int,
                  dtype=jnp.float32, inject_latent_noise: bool = False,
-                 use_flash_prefill: Optional[bool] = None):
+                 use_flash_prefill: Optional[bool] = None,
+                 use_fused_vocoder: bool = False):
         self.inject_latent_noise = inject_latent_noise
+        self.use_fused_vocoder = use_fused_vocoder
+        self._vocoder_packs = (tokenizer.pack_decoder_stages(
+            params["acoustic_decoder"], cfg.acoustic_tokenizer)
+            if use_fused_vocoder else None)
         if use_flash_prefill is None:
             # auto: long prompts with TPU-tileable head dim take the Pallas path
             use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0
@@ -234,8 +239,13 @@ class Engine:
                 p, cfg, self.solver_cfg, self.sched, h_t, h_neg, gen.cfg_scale, x_init,
                 sde_rng=sde_rng)
             scaled = vibevoice.unscale_latents(p, latent)
-            chunk, ac_state2 = tokenizer.decoder_apply_streaming(
-                p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :], acoustic_state)
+            if self._vocoder_packs is not None:
+                chunk, ac_state2 = tokenizer.decoder_apply_streaming_fused(
+                    p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :],
+                    acoustic_state, self._vocoder_packs)
+            else:
+                chunk, ac_state2 = tokenizer.decoder_apply_streaming(
+                    p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :], acoustic_state)
             sem, sem_state2 = tokenizer.encoder_apply_streaming(
                 p["semantic_encoder"], cfg.semantic_tokenizer, chunk, semantic_state)
             ac_embed = connectors.apply(p["acoustic_connector"], latent)
