@@ -27,12 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref,
+def _flash_kernel(off_ref, q_ref, k_ref, v_ref, pad_ref, o_ref,
                   m_scratch, l_scratch, acc_scratch,
                   *, scale: float, block_q: int, block_k: int, causal: bool):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
+    row_off = off_ref[0]  # global index of this shard's first query row
 
     @pl.when(ik == 0)
     def _init():
@@ -43,7 +44,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref,
     # causal block skip: lowest q index in block >= highest k index needed
     run = True
     if causal:
-        run = (ik * block_k) <= (iq * block_q + block_q - 1)
+        run = (ik * block_k) <= (row_off + iq * block_q + block_q - 1)
 
     @pl.when(run)
     def _body():
@@ -57,7 +58,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref,
         pad = pad_ref[0]          # [bk] int32
         s = jnp.where(pad[None, :] > 0, s, NEG_INF)
         if causal:
-            rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            rows = row_off + iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
             cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             s = jnp.where(cols <= rows, s, NEG_INF)
 
@@ -87,11 +89,13 @@ def flash_attention_prefill(
     causal: bool = True,
     block_q: int = 512,
     block_k: int = 512,
+    row_offset=None,        # global index of q[0] (context-parallel shards)
 ) -> jnp.ndarray:
     """Memory-linear attention for the prefill path; returns [B, T, H, D].
 
-    Assumes T == S (self-attention over the prompt). T is padded up to a
-    block multiple internally.
+    With `row_offset` the queries are a contiguous shard of a longer
+    sequence starting at that global row (context-parallel prefill);
+    otherwise T == S self-attention over the prompt.
     """
     b, t, h, d = q.shape
     s = k.shape[1]
@@ -119,26 +123,36 @@ def flash_attention_prefill(
     nk = s_pad // block_k
     grid = (b, h, nq, nk)
 
+    if row_offset is None:
+        row_offset = jnp.zeros((1,), jnp.int32)
+    else:
+        row_offset = jnp.reshape(jnp.asarray(row_offset, jnp.int32), (1,))
+
     kernel = functools.partial(_flash_kernel, scale=scale, block_q=block_q,
                                block_k=block_k, causal=causal)
 
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki, off: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, off, g=g: (bi, hi // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, off, g=g: (bi, hi // g, ki, 0)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki, off: (bi, ki)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki, off: (bi, hi, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max
             pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
             pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
         ],
-    )(qt, kt, vt, pad_mask)
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+    )(row_offset, qt, kt, vt, pad_mask)
 
     out = jnp.swapaxes(out, 1, 2)  # [B, T_pad, H, D]
     return out[:, :t]
