@@ -91,13 +91,20 @@ class VibeVoiceTTS:
         return self._engines[key]
 
     # ------------------------------------------------------------------
-    def generate(self, script, voice_samples=None, max_new_tokens: int = 256,
+    def generate(self, script, voice_samples=None, max_new_tokens: Optional[int] = None,
                  seed: int = 0, audio_streamer: Optional[AudioStreamer] = None,
                  stop_check_fn=None, show_progress: bool = False):
         """script: str | list[str]; voice_samples: paths or arrays (or nested
         per-script lists).  Returns GenerationResult + timing metrics."""
         enc = self.processor(script, voice_samples)
         b, t0 = enc.input_ids.shape
+        if max_new_tokens is None:
+            # reference default: min(ctx_limit - prompt, 2x prompt)
+            # (modeling_vibevoice_inference.py:371-372, :421), bucketed to
+            # limit engine recompiles
+            limit = self.cfg.decoder.max_position_embeddings - t0
+            want = min(limit, 2 * t0)
+            max_new_tokens = max(64, -(-want // 256) * 256)
         eng = self._engine(b, t0, max_new_tokens)
 
         # re-pad prompt to the engine's bucketed length (left padding)
