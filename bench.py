@@ -12,11 +12,38 @@ realtime per chip is the BASELINE.md north-star target).
 """
 import json
 import os
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Watchdog: the remote-TPU tunnel can wedge indefinitely (ROUND1_NOTES.md).
+# If the live measurement doesn't finish in time, emit the most recent
+# measured value from BENCH_LOCAL.json, clearly marked as stale, and exit —
+# never hang the driver.
+_WATCHDOG_S = 540
+
+
+def _watchdog():
+    time.sleep(_WATCHDOG_S)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json")) as f:
+            rec = json.load(f)["headline"]
+        rec = dict(rec)
+        rec["stale_from_earlier_run"] = True
+        rec["note"] = "remote TPU tunnel unresponsive; value measured earlier this round"
+        print(json.dumps(rec), flush=True)
+    except Exception:
+        print(json.dumps({"metric": "audio_sec_per_s_per_chip_1.5B", "value": 0.0,
+                          "unit": "audio-sec/s (RTF)", "vs_baseline": 0.0,
+                          "error": "tpu tunnel unresponsive"}), flush=True)
+    os._exit(0)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 # persistent compile cache: the axon tunnel makes first-compiles expensive
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
