@@ -41,3 +41,29 @@ def test_quantized_lm_close_to_fp():
     # int8 noise grows through depth; outputs should stay well-correlated
     corr = float(jnp.corrcoef(h_fp.reshape(-1), h_q.reshape(-1))[0, 1])
     assert corr > 0.99
+
+
+def test_quantized_engine_generates():
+    from vibevoice_tpu.configs import tiny_config
+    from vibevoice_tpu.engine import generate as G
+    from vibevoice_tpu.models import vibevoice
+
+    cfg = tiny_config()
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    qparams = qz.quantize_model(params, cfg.decoder.tie_word_embeddings)
+
+    gen = G.GenerationConfig(speech_start_id=100, speech_end_id=101,
+                             speech_diffusion_id=102, eos_id=1,
+                             ddpm_steps=3, force_diffusion=True)
+    eng = G.Engine(qparams, cfg, gen, max_steps=4, batch=1, prompt_len=16)
+    ids = np.zeros((1, 16), np.int32)
+    mask = np.ones((1, 16), np.int32)
+    sim = np.zeros((1, 16), bool)
+    state, _ = eng.prefill(ids, mask, sim)
+    for _ in range(3):
+        state, _ = eng.step(state)
+    audio = np.asarray(state.audio)
+    assert np.isfinite(audio).all()
+    assert int(np.asarray(state.frames)[0]) == 4
