@@ -66,15 +66,21 @@ def _kernel(vecs_ref, mixw_ref, w1_ref, w2_ref, ctx_in_ref,
         ctx_out_ref[0, :CTX] = new_ctx.astype(ctx_out_ref.dtype)
         ctx_out_ref[0, CTX:] = jnp.zeros((8 - CTX, d), ctx_out_ref.dtype)
 
-        # causal depthwise conv, taps k=0..6 over [ctx; h]
-        m = jnp.zeros((x_scratch.shape[0], d), jnp.float32)
-        for k in range(7):
-            tap = mixw_ref[0, k].astype(jnp.float32)[None, :]
-            # full[i + k] for output row i; full row j<6 -> ctx[j], else h[j-6]
-            for i in range(t):
+        # causal depthwise conv, taps k=0..6 over [ctx; h] — rows built
+        # statically (scatter ops don't lower on Mosaic)
+        taps = [mixw_ref[0, k].astype(jnp.float32) for k in range(7)]
+        rows = []
+        for i in range(t):
+            acc_row = jnp.zeros((d,), jnp.float32)
+            for k in range(7):
                 j = i + k
                 src = ctx[j] if j < CTX else h[j - CTX]
-                m = m.at[i].add(src * tap[0])
+                acc_row = acc_row + src * taps[k]
+            rows.append(acc_row[None, :])
+        t8 = x_scratch.shape[0]
+        if t < t8:
+            rows.append(jnp.zeros((t8 - t, d), jnp.float32))
+        m = jnp.concatenate(rows, axis=0)
         m = m + mixer_b[None, :]
         y = x + gamma[None, :] * m
         y_scratch[:] = y
