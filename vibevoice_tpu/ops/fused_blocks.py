@@ -33,6 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 CTX = 6  # depthwise kernel 7 -> 6 context rows
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7); Mosaic has no
+    native erf/erfc lowering."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _kernel(vecs_ref, mixw_ref, w1_ref, w2_ref, ctx_in_ref,
             x_ref, o_ref, ctx_out_ref,
             x_scratch, y_scratch, hn_scratch, acc_scratch,
@@ -96,7 +107,8 @@ def _kernel(vecs_ref, mixw_ref, w1_ref, w2_ref, ctx_in_ref,
     w1 = w1_ref[0].astype(jnp.float32)                          # [D+8, tile_f]
     a = jax.lax.dot_general(hn_aug, w1, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    a = jax.nn.gelu(a, approximate=False)
+    # exact GELU via rational erf (erf/erfc don't lower in Mosaic)
+    a = 0.5 * a * (1.0 + _erf(a * 0.7071067811865476))
     w2 = w2_ref[0].astype(jnp.float32)                          # [tile_f, D]
     acc_scratch[:] = acc_scratch[:] + jax.lax.dot_general(
         a, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
