@@ -127,9 +127,12 @@ class Engine:
                  use_fused_vocoder: bool = False):
         self.inject_latent_noise = inject_latent_noise
         self.use_fused_vocoder = use_fused_vocoder
-        self._vocoder_packs = (tokenizer.pack_decoder_stages(
-            params["acoustic_decoder"], cfg.acoustic_tokenizer)
-            if use_fused_vocoder else None)
+        if use_fused_vocoder:
+            # stash packs INSIDE the params tree: closing over them would
+            # inline ~GBs of weights as HLO constants (tunnel 413s)
+            params = dict(params)
+            params["_vocoder_packs"] = tokenizer.pack_decoder_stages(
+                params["acoustic_decoder"], cfg.acoustic_tokenizer)
         if use_flash_prefill is None:
             # auto: long prompts with TPU-tileable head dim take the Pallas path
             use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0
@@ -239,10 +242,10 @@ class Engine:
                 p, cfg, self.solver_cfg, self.sched, h_t, h_neg, gen.cfg_scale, x_init,
                 sde_rng=sde_rng)
             scaled = vibevoice.unscale_latents(p, latent)
-            if self._vocoder_packs is not None:
+            if self.use_fused_vocoder:
                 chunk, ac_state2 = tokenizer.decoder_apply_streaming_fused(
                     p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :],
-                    acoustic_state, self._vocoder_packs)
+                    acoustic_state, p["_vocoder_packs"])
             else:
                 chunk, ac_state2 = tokenizer.decoder_apply_streaming(
                     p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :], acoustic_state)
