@@ -251,7 +251,7 @@ def pack_decoder_stages(params: Params, cfg: AcousticTokenizerConfig,
         if i > 0:
             t *= strides[i - 1]
         if t <= max_frames and depths[i] > 0:
-            packs[i] = (fb.pack_stage(params["stages"][i]), t)
+            packs[i] = fb.pack_stage(params["stages"][i])
     return packs
 
 
@@ -277,8 +277,7 @@ def decoder_apply_streaming_fused(params: Params, cfg: AcousticTokenizerConfig,
             h, new_st = causal_conv_transpose1d_streaming(h, st, up["w"], up["b"], stride=r)
             s.append(new_st)
         if i in fused_packs:
-            packed, t_stage = fused_packs[i]
-            assert h.shape[1] == t_stage, (h.shape, t_stage)
+            packed = fused_packs[i]
             # gather this stage's mixer states -> [B, N, 6, D]
             n = depths[i]
             stage_states = [s.pop(0) for _ in range(n)]
