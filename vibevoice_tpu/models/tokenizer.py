@@ -251,7 +251,8 @@ def pack_decoder_stages(params: Params, cfg: AcousticTokenizerConfig,
         if i > 0:
             t *= strides[i - 1]
         if t <= max_frames and depths[i] > 0:
-            packs[i] = fb.pack_stage(params["stages"][i])
+            dtype = params["stages"][i][0]["ffn1"]["w"].dtype
+            packs[i] = fb.pack_stage(params["stages"][i], dtype=dtype)
     return packs
 
 

@@ -152,7 +152,7 @@ def pack_stage(blocks, dtype=jnp.float32):
 
 
 def fused_block_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
-                      eps: float = 1e-5, tile_f: int = 512
+                      eps: float = 1e-5, tile_f: int = 256
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused chain for ONE batch row.
 
