@@ -1,0 +1,1 @@
+"""TPU ops: causal convs, Pallas attention kernels, fused block chains."""
