@@ -119,3 +119,14 @@ def test_audio_streamer():
     assert len(chunks) == 2
     st.end()
     assert all(st.finished_flags)
+
+
+def test_demo_example_scripts_parse():
+    import glob
+    tk = ByteFallbackTokenizer()
+    proc = VibeVoiceProcessor(tk)
+    for f in glob.glob("demo/text_examples/*.txt"):
+        script = proc._convert_text_to_script(f)
+        parsed = proc._parse_script(script)
+        assert len(parsed) > 0
+        assert all(isinstance(s, int) and t.strip() for s, t in parsed)
