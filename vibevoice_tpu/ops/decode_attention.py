@@ -79,7 +79,7 @@ def decode_attention(
     v: jnp.ndarray,        # [B, S, KVH, D]
     visible: jnp.ndarray,  # [B, S] int (1 = attendable)
     lengths: jnp.ndarray,  # [B] int32: visible slots all < lengths[b]
-    block_k: int = 512,
+    block_k: int = 2048,
 ) -> jnp.ndarray:
     """Returns [B, H, D]."""
     b, h, d = q.shape
