@@ -33,15 +33,17 @@ def test_decode_attention_matches_naive(s, h, kvh, block, monkeypatch):
     d = 64
     key = jax.random.PRNGKey(0)
     kq, kk, kv2 = jax.random.split(key, 3)
-    b = 2
+    b, n_layers, layer = 2, 3, 1
     q = jax.random.normal(kq, (b, h, d)) * 0.3
-    k = jax.random.normal(kk, (b, s, kvh, d)) * 0.3
-    v = jax.random.normal(kv2, (b, s, kvh, d)) * 0.3
+    # full stacked cache [L, B, S, KVH*D]; the kernel reads `layer` directly
+    k_full = jax.random.normal(kk, (n_layers, b, s, kvh * d)) * 0.3
+    v_full = jax.random.normal(kv2, (n_layers, b, s, kvh * d)) * 0.3
     # sparse visibility with per-sample prefix lengths (like the CFG stream)
     lengths = jnp.array([s // 2, s - 10], jnp.int32)
     vis = (jnp.arange(s)[None, :] < lengths[:, None]).astype(jnp.int32)
     vis = vis.at[0, 5].set(0)  # hole, like a reset stream
 
-    out = da.decode_attention(q, k, v, vis, lengths, block_k=block)
-    ref = naive(q, k, v, vis)
+    out = da.decode_attention(q, k_full, v_full, layer, vis, lengths, block_k=block)
+    ref = naive(q, k_full[layer].reshape(b, s, kvh, d),
+                v_full[layer].reshape(b, s, kvh, d), vis)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

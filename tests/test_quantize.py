@@ -43,6 +43,29 @@ def test_quantized_lm_close_to_fp():
     assert corr > 0.99
 
 
+def test_quantized_diffusion_head_close_to_fp():
+    from vibevoice_tpu.configs import DiffusionHeadConfig
+    from vibevoice_tpu.models import diffusion_head as dh
+
+    cfg = DiffusionHeadConfig(hidden_size=64, latent_size=16, head_layers=2,
+                              freq_embed_size=32)
+    params = dh.init(jax.random.PRNGKey(0), cfg)
+    # zero-init adaLN/final would make outputs trivially zero; randomize
+    for lp in params["layers"]:
+        lp["ada_w"] = jax.random.normal(jax.random.PRNGKey(1), lp["ada_w"].shape) * 0.05
+    params["final_ada_w"] = jax.random.normal(jax.random.PRNGKey(2), params["final_ada_w"].shape) * 0.05
+    params["final_linear"] = jax.random.normal(jax.random.PRNGKey(3), params["final_linear"].shape) * 0.05
+    qp = qz.quantize_diffusion_head(params)
+
+    noisy = jax.random.normal(jax.random.PRNGKey(4), (3, 16))
+    t = jnp.asarray([10.0, 500.0, 900.0])
+    cond = jax.random.normal(jax.random.PRNGKey(5), (3, 64))
+    y_fp = dh.apply(params, cfg, noisy, t, cond)
+    y_q = dh.apply(qp, cfg, noisy, t, cond)
+    corr = float(jnp.corrcoef(y_fp.reshape(-1), y_q.reshape(-1))[0, 1])
+    assert corr > 0.999
+
+
 def test_quantized_engine_generates():
     from vibevoice_tpu.configs import tiny_config
     from vibevoice_tpu.engine import generate as G

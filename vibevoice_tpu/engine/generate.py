@@ -77,12 +77,16 @@ class StepOutput(NamedTuple):
 
 
 class GenState(NamedTuple):
-    # unified cache: rows [:B] positive stream, rows [B:] negative stream
-    cache: qwen2.KVCache        # [L, 2B, S, KVH, D]
+    # unified cache: rows [:B] positive stream, rows [B:] negative stream.
+    # BOTH streams write at the shared slot clock `write_pos` (one uniform
+    # dynamic_update_slice per layer — alias-updated in place across scan
+    # steps); which slots each stream actually ATTENDS is pure visibility
+    # bookkeeping, so no scatter ever touches the cache.
+    cache: qwen2.KVCache        # [L, 2B, S, KVH*D]
     visible: jnp.ndarray        # [2B, S] int32
-    write_pos: jnp.ndarray      # scalar int32 — next positive slot
+    write_pos: jnp.ndarray      # scalar int32 — next slot (both streams)
     pos_positions: jnp.ndarray  # [B] int32 next rope position (positive)
-    neg_ptr: jnp.ndarray        # [B] int32 next negative write slot
+    neg_first_slot: jnp.ndarray  # [B] int32 slot of first committed negative entry
     neg_positions: jnp.ndarray  # [B] int32 next rope position (negative)
     neg_started: jnp.ndarray    # [B] bool — first negative entry committed
     # loop state
@@ -91,11 +95,13 @@ class GenState(NamedTuple):
     reach_max: jnp.ndarray      # [B] bool
     step: jnp.ndarray           # scalar int32 (decode steps completed)
     max_step_per_sample: jnp.ndarray  # [B] int32
-    # audio path
+    # audio path: one hop-sized slot per decode step (uniform-slot writes —
+    # alias-friendly); `emitted` marks which slots carry a real frame
     acoustic_state: Any
     semantic_state: Any
     frames: jnp.ndarray         # [B] int32 emitted frame count
-    audio: jnp.ndarray          # [B, max_frames*hop] fp32
+    audio: jnp.ndarray          # [B, max_steps, hop] fp32
+    emitted: jnp.ndarray        # [B, max_steps] bool
     # bookkeeping
     tokens: jnp.ndarray         # [B, max_steps] int32 generated tokens
     rng: jnp.ndarray
@@ -148,6 +154,10 @@ class Engine:
         self.batch = batch
         self.prompt_len = prompt_len
         self.cache_len = prompt_len + max_steps
+        if self.use_flash_decode:
+            # the Pallas decode kernel tiles the cache in 2048-wide blocks;
+            # extra slots are never written or visible
+            self.cache_len = -(-self.cache_len // 2048) * 2048
         self.dtype = dtype
 
         self.solver_cfg = ds.SolverConfig(
@@ -166,7 +176,7 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _post_lm(self, p: Params, state: GenState, h_t: jnp.ndarray,
-                 h_neg: jnp.ndarray) -> Tuple[GenState, StepOutput]:
+                 h_neg: jnp.ndarray, neg_slot: jnp.ndarray) -> Tuple[GenState, StepOutput]:
         """Everything after the LM forward for one step.
 
         `h_t`/`h_neg` [B, H]: positive and negative hiddens at the current
@@ -207,24 +217,18 @@ class Engine:
         semantic_state = tokenizer.state_reset_where(state.semantic_state, is_end)
 
         # speech_start: reset negative context to its FIRST kv entry
-        # (ref :563-580 — overwrite last slot with slot-0 kv, visibility = that
-        # slot; a no-op before the negative stream has started, matching the
-        # reference where the cache is still empty).  Stale mode never resets.
+        # (ref :563-580 — the reference copies the slot-0 kv over the last
+        # slot and zeroes the mask except that column; here the first entry
+        # still lives at `neg_first_slot`, so the reset is a pure visibility
+        # rewrite — the cache itself is never touched outside the uniform
+        # per-layer writes, keeping it alias-updatable).  A no-op before the
+        # negative stream has started; stale mode never resets.
         do_reset = is_start & state.neg_started
         if not gen.refresh_negative:
             do_reset = jnp.zeros_like(do_reset)
-        slot_r = jnp.maximum(state.neg_ptr - 1, 0)
-        barange = jnp.arange(b)
-        nrows = barange + b  # negative rows in the unified cache
-        nk, nv = state.cache.k, state.cache.v
-        cur_k = nk[:, nrows, slot_r]          # [L, B, KVH, D]
-        cur_v = nv[:, nrows, slot_r]
-        m = do_reset[None, :, None, None]
-        nk = nk.at[:, nrows, slot_r].set(jnp.where(m, nk[:, nrows, 0], cur_k))
-        nv = nv.at[:, nrows, slot_r].set(jnp.where(m, nv[:, nrows, 0], cur_v))
-        cache = qwen2.KVCache(k=nk, v=nv)
+        cache = state.cache
         visible = state.visible
-        reset_vis = _onehot(slot_r, visible.shape[1])
+        reset_vis = _onehot(state.neg_first_slot, visible.shape[1])
         visible = visible.at[b:].set(
             jnp.where(do_reset[:, None], reset_vis, visible[b:]))
 
@@ -275,21 +279,25 @@ class Engine:
 
         # negative bookkeeping: refresh mode commits the just-written slot only
         # on diffusion steps; stale mode commits every step (the reference
-        # forwards+appends the negative stream unconditionally there)
+        # forwards+appends the negative stream unconditionally there).
+        # `neg_slot` is the shared slot this step's negative kv landed in;
+        # a slot not committed is simply never made visible.
         commit = is_diff if gen.refresh_negative else (~finished)
-        commit_vis = jnp.minimum(visible[b:] + _onehot(state.neg_ptr, visible.shape[1]), 1)
+        slot_vis = (jnp.arange(visible.shape[1]) == neg_slot).astype(jnp.int32)[None]
+        commit_vis = jnp.minimum(visible[b:] + slot_vis, 1)
         visible = visible.at[b:].set(jnp.where(commit[:, None], commit_vis, visible[b:]))
-        neg_ptr = jnp.where(commit, state.neg_ptr + 1, state.neg_ptr)
+        neg_first_slot = jnp.where(commit & ~state.neg_started,
+                                   neg_slot, state.neg_first_slot)
         neg_positions = jnp.where(commit, state.neg_positions + 1, state.neg_positions)
         neg_started = state.neg_started | commit
 
-        # audio write at per-sample frame offsets
-        def wr(buf, ch, start, emit):
-            cur = lax.dynamic_slice(buf, (start,), (hop,))
-            return lax.dynamic_update_slice(buf, jnp.where(emit, ch, cur), (start,))
-
-        audio = jax.vmap(wr)(state.audio, chunk.astype(state.audio.dtype),
-                             state.frames * hop, is_diff)
+        # audio write at the uniform step slot (in-place dynamic_update_slice)
+        audio = lax.dynamic_update_slice(
+            state.audio,
+            jnp.where(is_diff[:, None], chunk, 0.0).astype(state.audio.dtype)[:, None, :],
+            (0, state.step, 0))
+        emitted = lax.dynamic_update_slice(
+            state.emitted, is_diff[:, None], (0, state.step))
         frames = state.frames + is_diff.astype(jnp.int32)
 
         # next input embeds (ref :582-690)
@@ -301,11 +309,12 @@ class Engine:
         new_state = GenState(
             cache=cache, visible=visible,
             write_pos=state.write_pos, pos_positions=state.pos_positions,
-            neg_ptr=neg_ptr, neg_positions=neg_positions, neg_started=neg_started,
+            neg_first_slot=neg_first_slot, neg_positions=neg_positions,
+            neg_started=neg_started,
             cur_embeds=cur_embeds, finished=finished, reach_max=reach_max,
             step=state.step + 1, max_step_per_sample=state.max_step_per_sample,
             acoustic_state=acoustic_state, semantic_state=semantic_state,
-            frames=frames, audio=audio, tokens=tokens, rng=rng,
+            frames=frames, audio=audio, emitted=emitted, tokens=tokens, rng=rng,
             latent_noise=state.latent_noise,
         )
         return new_state, StepOutput(token=next_tok, audio_chunk=chunk,
@@ -377,7 +386,7 @@ class Engine:
         state = GenState(
             cache=cache, visible=visible,
             write_pos=jnp.int32(t0), pos_positions=init_len.astype(jnp.int32),
-            neg_ptr=jnp.zeros((b,), jnp.int32),
+            neg_first_slot=jnp.zeros((b,), jnp.int32),
             neg_positions=jnp.zeros((b,), jnp.int32),
             neg_started=jnp.zeros((b,), bool),
             cur_embeds=ss_embed[:, 0],
@@ -387,47 +396,55 @@ class Engine:
             acoustic_state=tokenizer.decoder_state_init(cfg.acoustic_tokenizer, b, self.dtype),
             semantic_state=tokenizer.encoder_state_init(cfg.semantic_tokenizer, b, self.dtype),
             frames=jnp.zeros((b,), jnp.int32),
-            audio=jnp.zeros((b, self.max_steps * self.hop), jnp.float32),
+            audio=jnp.zeros((b, self.max_steps, self.hop), jnp.float32),
+            emitted=jnp.zeros((b, self.max_steps), bool),
             tokens=jnp.zeros((b, self.max_steps), jnp.int32),
             rng=rng,
             latent_noise=(latent_noise if latent_noise is not None
                           else jnp.zeros((1, b, cfg.acoustic_vae_dim), self.dtype)),
         )
-        return self._post_lm(p, state, h_last, h_neg0[:, 0])
+        # at step 0 the negative stream's "just-written" kv is the slot-0
+        # pre-seed (the speech_start embedding at rope position 0)
+        return self._post_lm(p, state, h_last, h_neg0[:, 0], neg_slot=jnp.int32(0))
 
     # ------------------------------------------------------------------
     def _step_impl(self, params: Params, state: GenState) -> Tuple[GenState, StepOutput]:
-        """One decode step: combined [2B] forward over the unified cache."""
+        """One decode step: combined [2B] forward over the unified cache.
+
+        Both streams write this step's kv at the SAME slot `write_pos`
+        (uniform scalar -> per-layer dynamic_update_slice, alias-updated in
+        place); the negative stream's divergent history is carried entirely
+        by the visibility mask."""
         p, cfg = params, self.cfg
         b = self.batch
+        wp = state.write_pos
 
-        # visibility for this forward: positive rows see their new slot,
-        # negative rows see their pending slot (committed only on diffusion)
-        wp_vec = jnp.broadcast_to(state.write_pos, (b,))
+        # visibility for this forward: each row sees its committed history
+        # plus the slot being written right now
+        slot_vis = (jnp.arange(self.cache_len) == wp).astype(jnp.int32)[None]
         vis = state.visible
-        vis_pos = jnp.minimum(vis[:b] + _onehot(wp_vec, self.cache_len), 1)
-        vis_neg = jnp.minimum(vis[b:] + _onehot(state.neg_ptr, self.cache_len), 1)
+        vis_pos = jnp.minimum(vis[:b] + slot_vis, 1)
+        vis_neg = jnp.minimum(vis[b:] + slot_vis, 1)
         vis_step = jnp.concatenate([vis_pos, vis_neg], axis=0)
 
         embeds2 = jnp.concatenate([state.cur_embeds, state.cur_embeds], axis=0)[:, None, :]
         positions2 = jnp.concatenate([state.pos_positions, state.neg_positions])[:, None]
-        write2 = jnp.concatenate([wp_vec, state.neg_ptr])
 
         decode_ctx = None
         if self.use_flash_decode:
-            lengths = jnp.concatenate([wp_vec + 1, state.neg_ptr + 1])
+            lengths = jnp.full((2 * b,), wp + 1, jnp.int32)
             decode_ctx = (vis_step, lengths)
         hidden, cache = qwen2.forward(
             p["lm"], cfg.decoder, embeds2, positions2, qwen2.decode_bias(vis_step),
-            cache=state.cache, write_pos=write2, decode_ctx=decode_ctx)
+            cache=state.cache, write_pos=wp, decode_ctx=decode_ctx)
         h_pos, h_neg = hidden[:b, 0], hidden[b:, 0]
 
         state = state._replace(
             cache=cache,
             visible=state.visible.at[:b].set(vis_pos),
-            write_pos=state.write_pos + 1,
+            write_pos=wp + 1,
             pos_positions=state.pos_positions + 1)
-        return self._post_lm(p, state, h_pos, h_neg)
+        return self._post_lm(p, state, h_pos, h_neg, neg_slot=wp)
 
     def _chunk_impl(self, params: Params, state: GenState, n: int) -> Tuple[GenState, StepOutput]:
         def body(s, _):
@@ -541,9 +558,10 @@ def generate(
         audio_streamer.end()
 
     frames = np.asarray(state.frames)
-    audio_buf = np.asarray(state.audio)
-    hop = engine.hop
-    audio = [audio_buf[i, : frames[i] * hop] if frames[i] > 0 else None for i in range(b)]
+    audio_buf = np.asarray(state.audio)      # [B, max_steps, hop]
+    emitted_map = np.asarray(state.emitted)  # [B, max_steps]
+    audio = [audio_buf[i][emitted_map[i]].reshape(-1) if frames[i] > 0 else None
+             for i in range(b)]
     tokens = np.asarray(state.tokens)[:, : int(np.asarray(state.step))]
     return GenerationResult(tokens=tokens, audio=audio,
                             reach_max=np.asarray(state.reach_max), steps=steps_done)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import DiffusionHeadConfig
+from ..utils.quantize import mm
 from .norms import rms_norm
 
 Params = Dict[str, Any]
@@ -90,7 +91,7 @@ def apply_with_modulations(params: Params, cfg: DiffusionHeadConfig,
     for lp, mod in zip(params["layers"], layer_mods):
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         h = rms_norm(x, lp["norm_w"], eps) * (1 + scale) + shift
-        h = (jax.nn.silu(h @ lp["gate"]) * (h @ lp["up"])) @ lp["down"]
+        h = mm(jax.nn.silu(mm(h, lp["gate"])) * mm(h, lp["up"]), lp["down"])
         x = x + gate * h
     shift, scale = jnp.split(final_mod, 2, axis=-1)
     x = rms_norm(x, None, eps) * (1 + scale) + shift
@@ -111,7 +112,7 @@ def apply(params: Params, cfg: DiffusionHeadConfig,
         mod = jax.nn.silu(c) @ lp["ada_w"]
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         h = rms_norm(x, lp["norm_w"], eps) * (1 + scale) + shift
-        h = (jax.nn.silu(h @ lp["gate"]) * (h @ lp["up"])) @ lp["down"]
+        h = mm(jax.nn.silu(mm(h, lp["gate"])) * mm(h, lp["up"]), lp["down"])
         x = x + gate * h
 
     mod = jax.nn.silu(c) @ params["final_ada_w"]

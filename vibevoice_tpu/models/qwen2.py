@@ -7,8 +7,9 @@ biased q/k/v projections — numerics matched to HF Qwen2 for parity.
 
 Design:
   * params pytree + pure apply fns (no module graph)
-  * ONE static preallocated KV cache `[L, B, S_max, KVH, D]` written with
-    dynamic_update_slice — decode runs fully inside jit with donated cache
+  * ONE static preallocated KV cache `[L, B, S_max, KVH*D]` written with
+    uniform-position dynamic_update_slice (alias-updated in place across
+    scan steps) — decode runs fully inside jit with donated cache
   * prefill and decode share the same attention core; masks are additive fp32
   * sharding: attention heads and MLP hidden dims are split over the `model`
     mesh axis by `parallel/mesh.py` partition specs (HF tp_plan col/row split,
@@ -93,12 +94,16 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 # ---------------------------------------------------------------------------
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [L, B, S, KVH, D]
-    v: jnp.ndarray  # [L, B, S, KVH, D]
+    # KVH and D are fused into one trailing dim: (S, KVH*D) tiles (8, 128)
+    # natively on TPU, and the Pallas decode kernel reads the full stacked
+    # buffer without a per-layer slice/relayout (see ops/decode_attention.py)
+    k: jnp.ndarray  # [L, B, S, KVH*D]
+    v: jnp.ndarray  # [L, B, S, KVH*D]
 
 
 def kv_cache_init(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads * cfg.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -126,14 +131,16 @@ def _attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
            cos: jnp.ndarray, sin: jnp.ndarray,
-           kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
-           cache_slice: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+           cache_full: Optional[Tuple[jnp.ndarray, jnp.ndarray, int, jnp.ndarray]],
            bias: jnp.ndarray,
            pad_mask: Optional[jnp.ndarray] = None,
            use_flash: bool = False,
            decode_ctx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
-    """One decoder layer. If `cache_slice=(k_cache, v_cache, write_pos)` is
-    given, new k/v are written at write_pos and attention reads the cache."""
+    """One decoder layer. If `cache_full=(k_full, v_full, layer_idx, write_pos)`
+    is given, new k/v are written at write_pos (directly into the full
+    [L, B, S, KVH*D] buffers — one in-place dynamic_update_slice each, so
+    the cache is alias-updated across `lax.scan` decode steps with zero
+    copies) and attention reads this layer's cache slice."""
     b, t, h = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -149,37 +156,49 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
         v = v + lp["v"]["b"]
     q = apply_rope(q.reshape(b, t, nh, hd), cos, sin)
     k = apply_rope(k.reshape(b, t, nkv, hd), cos, sin)
-    v = v.reshape(b, t, nkv, hd)
 
     new_kv = None
-    if cache_slice is not None:
-        k_cache, v_cache, pos = cache_slice
+    use_kernel = False
+    if cache_full is not None:
+        k_full, v_full, li, pos = cache_full
+        k2 = k.reshape(b, t, nkv * hd)  # fused (KVH*D) cache lanes
         if pos.ndim == 0:
-            # uniform write position (left-padded positive stream)
-            k_cache = lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0))
-            v_cache = lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0))
+            # uniform write position: a single dynamic_update_slice on the
+            # full buffer — XLA aliases it in place (no cache copy)
+            li_ = jnp.int32(li)
+            z = jnp.int32(0)
+            k_full = lax.dynamic_update_slice(
+                k_full, k2.astype(k_full.dtype)[None], (li_, z, pos, z))
+            v_full = lax.dynamic_update_slice(
+                v_full, v.astype(v_full.dtype)[None], (li_, z, pos, z))
         else:
-            # per-sample write position (CFG negative stream: each sample's
-            # write pointer advances only on its own diffusion steps)
+            # per-sample write positions (legacy path; lowers to scatter)
             def _wr(c, kk, p):
-                return lax.dynamic_update_slice(c, kk, (p, 0, 0))
-            k_cache = jax.vmap(_wr)(k_cache, k.astype(k_cache.dtype), pos)
-            v_cache = jax.vmap(_wr)(v_cache, v.astype(v_cache.dtype), pos)
-        new_kv = (k_cache, v_cache)
-        k_att, v_att = k_cache, v_cache
-    else:
-        k_att, v_att = k, v
+                return lax.dynamic_update_slice(c, kk, (p, 0))
+            k_full = k_full.at[li].set(jax.vmap(_wr)(k_full[li], k2.astype(k_full.dtype), pos))
+            v_full = v_full.at[li].set(jax.vmap(_wr)(v_full[li], v.astype(v_full.dtype), pos))
+        new_kv = (k_full, v_full)
+        use_kernel = decode_ctx is not None and t == 1
 
     if use_flash and t > 1:
         # prefill: attention spans exactly the newly-written kv; O(T) memory
         from ..ops.flash_attention import flash_attention_prefill
-        att = flash_attention_prefill(q, k, v, pad_mask, causal=True)
-    elif decode_ctx is not None and t == 1 and cache_slice is not None:
-        # long-context decode: Pallas kernel skips beyond-length cache blocks
+        att = flash_attention_prefill(q, k, v.reshape(b, t, nkv, hd),
+                                      pad_mask, causal=True)
+    elif use_kernel:
+        # long-context decode: Pallas kernel reads the full stacked cache
+        # (layer index folded into the block map — no slice materialization)
+        # and skips beyond-length cache blocks
         from ..ops.decode_attention import decode_attention
         visible, lengths = decode_ctx
-        att = decode_attention(q[:, 0], k_att, v_att, visible, lengths)[:, None]
+        att = decode_attention(q[:, 0], k_full, v_full, li, visible, lengths)[:, None]
     else:
+        if cache_full is not None:
+            s_max = k_full.shape[2]
+            k_att = k_full[li].reshape(b, s_max, nkv, hd)
+            v_att = v_full[li].reshape(b, s_max, nkv, hd)
+        else:
+            k_att, v_att = k, v.reshape(b, t, nkv, hd)
         att = _attend(q, k_att, v_att, bias)
     att = mm(att.reshape(b, t, nh * hd), lp["o"]["w"])
     x = x + att
@@ -206,18 +225,18 @@ def forward(
     spans the cache; without, attention spans the inputs (bias supplied)."""
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     x = inputs_embeds
-    new_k, new_v = [], []
+    k_full = cache.k if cache is not None else None
+    v_full = cache.v if cache is not None else None
     for li, lp in enumerate(params["layers"]):
-        cache_slice = None
+        cache_full = None
         if cache is not None:
-            cache_slice = (cache.k[li], cache.v[li], write_pos)
-        x, nkv = _layer(lp, cfg, x, cos, sin, None, cache_slice, attn_bias,
+            cache_full = (k_full, v_full, li, write_pos)
+        x, nkv = _layer(lp, cfg, x, cos, sin, cache_full, attn_bias,
                         pad_mask=pad_mask, use_flash=use_flash, decode_ctx=decode_ctx)
         if nkv is not None:
-            new_k.append(nkv[0])
-            new_v.append(nkv[1])
+            k_full, v_full = nkv
     x = rms_norm(x, params["final_norm_w"], cfg.rms_norm_eps)
-    new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v)) if cache is not None else None
+    new_cache = KVCache(k=k_full, v=v_full) if cache is not None else None
     return x, new_cache
 
 

@@ -8,7 +8,15 @@ block index map at the per-sample valid length so Mosaic elides the DMAs of
 never-visible blocks — decode cache reads scale with the LIVE context, not
 the allocated width.
 
-Layout: q [B, H, D] (one position per row), cache k/v [B, S, KVH, D],
+The kernel reads the FULL stacked cache [L, B, S, KVH*D] directly, with the
+(static) layer index folded into the block index map.  Slicing the layer out
+in XLA instead would materialize a full-width copy of the slice (plus a
+retiling reshape) per layer per step — measured at ~20 ms/frame of pure
+staging traffic on a 64K cache — so the operand must be the whole buffer.
+The last two dims are pre-fused to (S, KVH*D) so Mosaic tiles (8, 128)
+natively; KVH as its own dim would tile (2, 128) with 8x padding.
+
+Layout: q [B, H, D] (one query position per row), cache k/v [L, B, S, KVH*D],
 visibility mask [B, S], lengths [B] (scalar-prefetched upper bound of the
 visible prefix).  Grid (B, S/block_k), k-blocks innermost, online-softmax
 scratch accumulators.
@@ -16,7 +24,6 @@ scratch accumulators.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +39,6 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, vis_ref, o_ref,
     b = pl.program_id(0)
     ik = pl.program_id(1)
     nk = pl.num_programs(1)
-    h = kvh * group
 
     @pl.when(ik == 0)
     def _init():
@@ -48,8 +54,8 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, vis_ref, o_ref,
         vis = vis_ref[0, 0]       # [block_k]
         d = q_ref.shape[-1]
         for hk in range(kvh):
-            k = k_ref[0][:, hk * d:(hk + 1) * d]    # [bk, D]
-            v = v_ref[0][:, hk * d:(hk + 1) * d]
+            k = k_ref[0, 0][:, hk * d:(hk + 1) * d]    # [bk, D]
+            v = v_ref[0, 0][:, hk * d:(hk + 1) * d]
             qh = q[hk * group:(hk + 1) * group]  # [G, D]
             s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale  # [G, bk]
@@ -75,39 +81,34 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, vis_ref, o_ref,
 
 def decode_attention(
     q: jnp.ndarray,        # [B, H, D]
-    k: jnp.ndarray,        # [B, S, KVH, D]
-    v: jnp.ndarray,        # [B, S, KVH, D]
+    k_full: jnp.ndarray,   # [L, B, S, KVH*D] — full stacked cache
+    v_full: jnp.ndarray,   # [L, B, S, KVH*D]
+    layer: int,            # static layer index
     visible: jnp.ndarray,  # [B, S] int (1 = attendable)
     lengths: jnp.ndarray,  # [B] int32: visible slots all < lengths[b]
     block_k: int = 2048,
 ) -> jnp.ndarray:
     """Returns [B, H, D]."""
     b, h, d = q.shape
-    s = k.shape[1]
-    kvh = k.shape[2]
+    s = k_full.shape[2]
+    kvh = k_full.shape[3] // d
     group = h // kvh
     scale = 1.0 / (d ** 0.5)
 
     block_k = min(block_k, s)
-    s_pad = -(-s // block_k) * block_k
-    if s_pad != s:
-        k = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
-        visible = jnp.pad(visible, ((0, 0), (0, s_pad - s)))
-    # fuse (KVH, D) into the lane dimension: 3-D blocks keep Mosaic's
-    # (sublane, lane) tiling on (S, KVH*D)
-    k = k.reshape(b, s_pad, kvh * d)
-    v = v.reshape(b, s_pad, kvh * d)
-    nk = s_pad // block_k
-    # TPU blocks need sublane divisible by 8: broadcast the mask to 8 rows
-    visible = jnp.broadcast_to(visible.astype(jnp.int32)[:, None, :], (b, 8, s_pad))
+    while s % block_k:
+        block_k //= 2
+    nk = s // block_k
+    # TPU blocks need sublane divisible by 8: broadcast the mask to 8 rows.
+    # (one instance per step — CSE dedupes it across the 28 layer calls)
+    visible = jnp.broadcast_to(visible.astype(jnp.int32)[:, None, :], (b, 8, s))
     lengths = lengths.astype(jnp.int32)
 
     def _clamped(ib, ik, len_ref):
         # beyond-length blocks re-map to the last needed block: unchanged
         # index -> Mosaic skips the DMA
         last = jnp.maximum((len_ref[ib] - 1) // block_k, 0)
-        return (ib, jnp.minimum(ik, last), 0)
+        return (layer, ib, jnp.minimum(ik, last), 0)
 
     def _clamped_vis(ib, ik, len_ref):
         last = jnp.maximum((len_ref[ib] - 1) // block_k, 0)
@@ -118,8 +119,8 @@ def decode_attention(
         grid=(b, nk),
         in_specs=[
             pl.BlockSpec((1, h, d), lambda ib, ik, len_ref: (ib, 0, 0)),
-            pl.BlockSpec((1, block_k, kvh * d), _clamped),
-            pl.BlockSpec((1, block_k, kvh * d), _clamped),
+            pl.BlockSpec((1, 1, block_k, kvh * d), _clamped),
+            pl.BlockSpec((1, 1, block_k, kvh * d), _clamped),
             pl.BlockSpec((1, 8, block_k), _clamped_vis),
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda ib, ik, len_ref: (ib, 0, 0)),
@@ -136,7 +137,7 @@ def decode_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
-    )(lengths, q, k, v, visible)
+    )(lengths, q, k_full, v_full, visible)
 
 
 __all__ = ["decode_attention"]

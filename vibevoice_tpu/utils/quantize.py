@@ -51,14 +51,38 @@ def quantize_lm(lm_params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def quantize_diffusion_head(head_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the diffusion head's per-solver-step FFN weights.
+
+    The sequential solver scan re-reads gate/up/down every one of the
+    `ddpm_steps` iterations per frame (~170 MB bf16 per step at 1.5B) — the
+    second-largest bandwidth consumer after the LM step.  The adaLN
+    modulation weights (`ada_w`, `final_ada_w`) are read once per frame by
+    `precompute_modulations` and stay bf16, as do the tiny latent-side
+    projections (fp accuracy where the output is produced).
+    """
+    out = dict(head_params)
+    layers = []
+    for lp in head_params["layers"]:
+        nl = dict(lp)
+        for name in ("gate", "up", "down"):
+            nl[name] = quantize_weight(lp[name])
+        layers.append(nl)
+    out["layers"] = layers
+    return out
+
+
 def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True) -> Dict[str, Any]:
-    """Quantize the LM (and untied lm_head); tokenizers/head stay bf16.
+    """Quantize the LM (and untied lm_head) + diffusion-head FFN; the conv
+    tokenizers stay bf16 (their weights are small — dispatch-bound, not
+    weight-bandwidth-bound).
 
     For tied embeddings an int8 copy of embed^T is added for the logits
     matmul (`lm_head`), trading ~0.5x embed memory for 2x logits bandwidth.
     """
     out = dict(params)
     out["lm"] = quantize_lm(params["lm"])
+    out["diffusion_head"] = quantize_diffusion_head(params["diffusion_head"])
     if params.get("lm_head") is not None:
         out["lm_head"] = quantize_weight(params["lm_head"])
     elif tie_word_embeddings:
@@ -66,4 +90,5 @@ def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True) -> 
     return out
 
 
-__all__ = ["quantize_weight", "quantize_model", "quantize_lm", "mm"]
+__all__ = ["quantize_weight", "quantize_model", "quantize_lm",
+           "quantize_diffusion_head", "mm"]
