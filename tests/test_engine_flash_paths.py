@@ -83,3 +83,37 @@ def test_fused_vocoder_engine_matches_regular(monkeypatch):
     a = run(False)
     b = run(True)
     np.testing.assert_allclose(b, a, atol=3e-5)
+
+
+def test_flash_decode_cache_len_rounded_to_block(interpret_pallas):
+    """Long caches round up to the Pallas kernel's 2048-token block size;
+    the extra slots are never written or visible, and generation still
+    emits frames."""
+    import dataclasses
+    cfg = tiny_config()
+    # head_dim 128 so the engine auto-selects the Pallas decode path
+    cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
+        cfg.decoder, hidden_size=256, intermediate_size=512,
+        num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=8192))
+    cfg = dataclasses.replace(cfg, diffusion_head=dataclasses.replace(
+        cfg.diffusion_head, hidden_size=256))
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    gen = G.GenerationConfig(speech_start_id=100, speech_end_id=101,
+                             speech_diffusion_id=102, eos_id=1,
+                             ddpm_steps=2, force_diffusion=True)
+    eng = G.Engine(params, cfg, gen, max_steps=10, batch=1, prompt_len=4090)
+    assert eng.use_flash_decode
+    assert eng.cache_len == 6144  # 4100 rounded up to a 2048 multiple
+
+    ids = np.zeros((1, 4090), np.int32)
+    mask = np.ones((1, 4090), np.int32)
+    sim = np.zeros((1, 4090), bool)
+    state, _ = eng.prefill(ids, mask, sim, rng=jax.random.PRNGKey(5))
+    assert state.cache.k.shape[2] == 6144
+    for _ in range(2):
+        state, _ = eng.step(state)
+    assert int(np.asarray(state.frames)[0]) == 3
+    assert np.isfinite(np.asarray(state.audio)).all()
