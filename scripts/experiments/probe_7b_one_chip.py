@@ -1,0 +1,133 @@
+"""Capability probe: the 7B-class model (VibeVoice-Large topology, 32K ctx)
+serving from ONE 16 GB v5e chip via int8 weight-only quantization.
+
+The reference needs a >=24 GB CUDA GPU for 7B bf16; here int8 projections
+(~6.5 GB) + bf16 embeddings + a 32K fused-layout KV cache (~3.8 GB) fit a
+single chip.  Memory discipline: init each LM layer on-device in bf16 and
+quantize it immediately (donating the bf16 buffers) so peak memory stays
+~int8-model-sized instead of bf16-model-sized.
+"""
+import sys, os, time, json
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+import jax, jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from vibevoice_tpu.configs import vibevoice_7b
+from vibevoice_tpu.engine import generate as G
+from vibevoice_tpu.models import qwen2, vibevoice
+from vibevoice_tpu.utils.quantize import quantize_weight, quantize_diffusion_head
+
+cfg = vibevoice_7b()
+dec = cfg.decoder
+hop = cfg.speech_compress_ratio
+
+# --- layer-wise init+quantize: peak memory ~ int8 model, not bf16 model ---
+# (qwen2.init builds all layers at once; init one layer at a time instead)
+t0 = time.perf_counter()
+std = 0.02
+h, ffn = dec.hidden_size, dec.intermediate_size
+hd, nh, nkv = dec.head_dim, dec.num_attention_heads, dec.num_key_value_heads
+
+def nrm(k, shape):
+    return jax.random.normal(k, shape, jnp.bfloat16) * std
+
+@jax.jit
+def make_layer_bf16(key):
+    lk = jax.random.split(key, 7)
+    return {
+        "input_norm_w": jnp.ones((h,), jnp.bfloat16),
+        "q": {"w": nrm(lk[0], (h, nh * hd)), "b": jnp.zeros((nh * hd,), jnp.bfloat16)},
+        "k": {"w": nrm(lk[1], (h, nkv * hd)), "b": jnp.zeros((nkv * hd,), jnp.bfloat16)},
+        "v": {"w": nrm(lk[2], (h, nkv * hd)), "b": jnp.zeros((nkv * hd,), jnp.bfloat16)},
+        "o": {"w": nrm(lk[3], (nh * hd, h)), "b": None},
+        "post_norm_w": jnp.ones((h,), jnp.bfloat16),
+        "gate": nrm(lk[4], (h, ffn)),
+        "up": nrm(lk[5], (h, ffn)),
+        "down": nrm(lk[6], (ffn, h)),
+    }
+
+@jax.jit
+def quant_layer(lp):
+    out = dict(lp)
+    for name in ("q", "k", "v", "o"):
+        proj = dict(lp[name])
+        proj["w"] = quantize_weight(lp[name]["w"])
+        out[name] = proj
+    for name in ("gate", "up", "down"):
+        out[name] = quantize_weight(lp[name])
+    return out
+
+layers = []
+key = jax.random.PRNGKey(0)
+for i in range(dec.num_hidden_layers):
+    key, lk = jax.random.split(key)
+    bf = make_layer_bf16(lk)
+    qlp = quant_layer(bf)
+    jax.block_until_ready(qlp["gate"]["qint8"])
+    del bf
+    layers.append(qlp)
+print(f"quantized {len(layers)} LM layers: {time.perf_counter()-t0:.1f}s", flush=True)
+
+# embeddings + the rest of the model (tokenizers/head/connectors are small)
+import dataclasses
+small_cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(dec, num_hidden_layers=0))
+params = jax.jit(lambda k: vibevoice.init_model(k, small_cfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(1))
+params["speech_scaling_factor"] = jnp.asarray(1.0)
+params["speech_bias_factor"] = jnp.asarray(0.0)
+params["lm"]["layers"] = layers
+params["diffusion_head"] = jax.jit(quantize_diffusion_head)(params["diffusion_head"])
+# int8 embedding table (per-row scales) — memory lever for the 16 GB chip
+params["lm"]["embed"] = jax.jit(lambda e: quantize_weight(e, axis=1))(params["lm"]["embed"])
+# untied 7B lm_head: int8
+params["lm_head"] = jax.jit(lambda k: quantize_weight(
+    jax.random.normal(k, (h, dec.vocab_size), jnp.bfloat16) * std))(jax.random.PRNGKey(2))
+_ = float(params["lm"]["embed"]["qint8"][0, 0])
+print(f"model ready: {time.perf_counter()-t0:.1f}s", flush=True)
+
+def mem(tag):
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        print(f"# mem[{tag}]: used={st.get('bytes_in_use', 0)/2**30:.2f}GiB "
+              f"peak={st.get('peak_bytes_in_use', 0)/2**30:.2f}GiB "
+              f"limit={st.get('bytes_limit', 0)/2**30:.2f}GiB", flush=True)
+    except Exception as e:
+        print(f"# mem[{tag}] unavailable: {e}", flush=True)
+
+mem("model")
+
+import os as _os
+ctx = int(_os.environ.get("CTX", "32768"))
+prompt_len = 2048
+max_steps = ctx - prompt_len
+gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
+                         speech_diffusion_id=151654, eos_id=151643,
+                         ddpm_steps=10, force_diffusion=True)
+t0 = time.perf_counter()
+eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=1,
+               prompt_len=prompt_len, dtype=jnp.bfloat16,
+               keep_audio=False)  # serving mode: chunks stream per step
+print(f"engine built (cache {ctx}): {time.perf_counter()-t0:.1f}s "
+      f"flash_prefill={eng.use_flash_prefill} flash_decode={eng.use_flash_decode}", flush=True)
+
+ids = np.zeros((1, prompt_len), np.int32)
+mask = np.ones((1, prompt_len), np.int32)
+sim = np.zeros((1, prompt_len), bool)
+t0 = time.perf_counter()
+state, _ = eng.prefill(ids, mask, sim)
+_ = int(np.asarray(state.frames).sum())
+print(f"prefill 2048 into {ctx} cache: {time.perf_counter()-t0:.1f}s", flush=True)
+mem("prefill")
+
+state, _ = eng.decode_chunk(state, 16)
+_ = int(np.asarray(state.frames).sum())
+t0 = time.perf_counter()
+state, _ = eng.decode_chunk(state, 16)
+f = int(np.asarray(state.frames).sum())
+dt = time.perf_counter() - t0
+print(json.dumps({"model": "7B-int8", "cache": ctx,
+                  "ms_per_frame": round(dt / 16 * 1000, 2),
+                  "rtf": round(16 * hop / 24000.0 / dt, 2), "frames": f}), flush=True)

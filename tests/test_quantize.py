@@ -90,3 +90,51 @@ def test_quantized_engine_generates():
     audio = np.asarray(state.audio)
     assert np.isfinite(audio).all()
     assert int(np.asarray(state.frames)[0]) == 4
+
+
+def test_int8_embed_rows_and_tied_logits():
+    params = q.init(jax.random.PRNGKey(7), CFG)
+    qlm = qz.quantize_lm(params, quantize_embed=True)
+    ids = jnp.asarray([[3, 17, 250]])
+    rows_fp = params["embed"][ids]
+    rows_q = q.embed_rows(qlm, ids)
+    corr = float(jnp.corrcoef(rows_fp.reshape(-1), rows_q.reshape(-1).astype(jnp.float32))[0, 1])
+    assert corr > 0.999
+    h = jax.random.normal(jax.random.PRNGKey(8), (1, CFG.hidden_size)) * 0.3
+    lg_fp = q.logits(params, CFG, h)
+    lg_q = q.logits(qlm, CFG, h)
+    corr = float(jnp.corrcoef(lg_fp.reshape(-1), lg_q.reshape(-1))[0, 1])
+    assert corr > 0.999
+
+
+def test_keep_audio_false_streams_same_chunks():
+    from vibevoice_tpu.configs import tiny_config
+    from vibevoice_tpu.engine import generate as G
+    from vibevoice_tpu.models import vibevoice
+
+    cfg = tiny_config()
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    gen = G.GenerationConfig(speech_start_id=100, speech_end_id=101,
+                             speech_diffusion_id=102, eos_id=1,
+                             ddpm_steps=3, force_diffusion=True)
+
+    def run(keep_audio):
+        eng = G.Engine(params, cfg, gen, max_steps=4, batch=1, prompt_len=16,
+                       keep_audio=keep_audio)
+        ids = np.zeros((1, 16), np.int32)
+        mask = np.ones((1, 16), np.int32)
+        sim = np.zeros((1, 16), bool)
+        state, out = eng.prefill(ids, mask, sim, rng=jax.random.PRNGKey(2))
+        chunks = [np.asarray(out.audio_chunk)]
+        for _ in range(3):
+            state, out = eng.step(state)
+            chunks.append(np.asarray(out.audio_chunk))
+        return np.concatenate(chunks, axis=1), state
+
+    full, state_full = run(True)
+    slim, state_slim = run(False)
+    np.testing.assert_allclose(slim, full, atol=1e-6)
+    assert state_slim.audio.shape[1] == 1       # buffer dropped
+    assert state_full.audio.shape[1] == 4

@@ -130,9 +130,14 @@ class Engine:
                  max_steps: int, batch: int, prompt_len: int,
                  dtype=jnp.float32, inject_latent_noise: bool = False,
                  use_flash_prefill: Optional[bool] = None,
-                 use_fused_vocoder: bool = False):
+                 use_fused_vocoder: bool = False,
+                 keep_audio: bool = True):
         self.inject_latent_noise = inject_latent_noise
         self.use_fused_vocoder = use_fused_vocoder
+        # keep_audio=False drops the on-device [B, max_steps, hop] waveform
+        # accumulator (e.g. 813 MB for a 90-min run) — streaming consumers
+        # get per-step chunks from StepOutput instead
+        self.keep_audio = keep_audio
         if use_fused_vocoder:
             # stash packs INSIDE the params tree: closing over them would
             # inline ~GBs of weights as HLO constants (tunnel 413s)
@@ -292,16 +297,19 @@ class Engine:
         neg_started = state.neg_started | commit
 
         # audio write at the uniform step slot (in-place dynamic_update_slice)
-        audio = lax.dynamic_update_slice(
-            state.audio,
-            jnp.where(is_diff[:, None], chunk, 0.0).astype(state.audio.dtype)[:, None, :],
-            (0, state.step, 0))
+        if self.keep_audio:
+            audio = lax.dynamic_update_slice(
+                state.audio,
+                jnp.where(is_diff[:, None], chunk, 0.0).astype(state.audio.dtype)[:, None, :],
+                (0, state.step, 0))
+        else:
+            audio = state.audio
         emitted = lax.dynamic_update_slice(
             state.emitted, is_diff[:, None], (0, state.step))
         frames = state.frames + is_diff.astype(jnp.int32)
 
         # next input embeds (ref :582-690)
-        tok_embeds = p["lm"]["embed"][next_tok].astype(h_t.dtype)
+        tok_embeds = qwen2.embed_rows(p["lm"], next_tok).astype(h_t.dtype)
         cur_embeds = jnp.where(is_diff[:, None], diff_embeds, tok_embeds)
 
         tokens = state.tokens.at[:, state.step].set(next_tok)
@@ -336,7 +344,7 @@ class Engine:
         h_dim = dec.hidden_size
 
         rng, k_vae = jax.random.split(rng)
-        embeds = p["lm"]["embed"][input_ids].astype(self.dtype)
+        embeds = qwen2.embed_rows(p["lm"], input_ids).astype(self.dtype)
         if speech_tensors is not None or voice_latents is not None:
             if voice_latents is None:
                 latents = vibevoice.encode_voice_prompts(
@@ -350,31 +358,33 @@ class Engine:
             order = jnp.argsort(~valid, stable=True)
             embeds = vibevoice.splice_speech_embeds(embeds, flat[order], speech_input_mask)
 
-        # positive prefill into rows [:B] of the unified cache
-        pos_cache = qwen2.kv_cache_init(dec, b, self.cache_len, self.dtype)
+        # ONE unified-cache allocation (rows [:B] positive, [B:] negative);
+        # prefill writes row sub-ranges in place — no pos/neg concat, which
+        # would transiently double cache memory (OOM for 7B/32K on one chip)
+        cache = qwen2.kv_cache_init(dec, 2 * b, self.cache_len, self.dtype)
+
+        # positive prefill into rows [:B]
         bias_t0 = qwen2.causal_bias(attention_mask, t0)
         bias = jnp.full((b, 1, t0, self.cache_len), -1e9, jnp.float32)
         bias = bias.at[:, :, :, :t0].set(bias_t0)
         pos = qwen2.positions_from_mask(attention_mask)
-        hidden, pos_cache = qwen2.forward(p["lm"], dec, embeds, pos, bias,
-                                          cache=pos_cache, write_pos=jnp.int32(0),
-                                          pad_mask=attention_mask,
-                                          use_flash=self.use_flash_prefill)
+        hidden, cache = qwen2.forward(p["lm"], dec, embeds, pos, bias,
+                                      cache=cache, write_pos=jnp.int32(0),
+                                      pad_mask=attention_mask,
+                                      use_flash=self.use_flash_prefill)
         h_last = hidden[:, -1]
 
         # negative pre-seed: speech_start kv at slot 0 of rows [B:] (committed
         # lazily at the first diffusion step — see _post_lm docstring)
-        neg_cache = qwen2.kv_cache_init(dec, b, self.cache_len, self.dtype)
-        ss_embed = p["lm"]["embed"][jnp.full((b, 1), gen.speech_start_id, jnp.int32)].astype(self.dtype)
+        ss_embed = qwen2.embed_rows(
+            p["lm"], jnp.full((b, 1), gen.speech_start_id, jnp.int32)).astype(self.dtype)
         neg_bias = jnp.full((b, 1, 1, self.cache_len), -1e9, jnp.float32)
         neg_bias = neg_bias.at[:, :, :, 0].set(0.0)
-        h_neg0, neg_cache = qwen2.forward(p["lm"], dec, ss_embed,
-                                          jnp.zeros((b, 1), jnp.int32), neg_bias,
-                                          cache=neg_cache, write_pos=jnp.int32(0))
+        h_neg0, cache = qwen2.forward(p["lm"], dec, ss_embed,
+                                      jnp.zeros((b, 1), jnp.int32), neg_bias,
+                                      cache=cache, write_pos=jnp.int32(0),
+                                      batch_offset=b)
 
-        cache = qwen2.KVCache(
-            k=jnp.concatenate([pos_cache.k, neg_cache.k], axis=1),
-            v=jnp.concatenate([pos_cache.v, neg_cache.v], axis=1))
         visible = jnp.zeros((2 * b, self.cache_len), jnp.int32)
         visible = visible.at[:b, :t0].set(attention_mask)
 
@@ -396,7 +406,8 @@ class Engine:
             acoustic_state=tokenizer.decoder_state_init(cfg.acoustic_tokenizer, b, self.dtype),
             semantic_state=tokenizer.encoder_state_init(cfg.semantic_tokenizer, b, self.dtype),
             frames=jnp.zeros((b,), jnp.int32),
-            audio=jnp.zeros((b, self.max_steps, self.hop), jnp.float32),
+            audio=jnp.zeros((b, self.max_steps if self.keep_audio else 1, self.hop),
+                            jnp.float32),
             emitted=jnp.zeros((b, self.max_steps), bool),
             tokens=jnp.zeros((b, self.max_steps), jnp.int32),
             rng=rng,
@@ -558,10 +569,13 @@ def generate(
         audio_streamer.end()
 
     frames = np.asarray(state.frames)
-    audio_buf = np.asarray(state.audio)      # [B, max_steps, hop]
-    emitted_map = np.asarray(state.emitted)  # [B, max_steps]
-    audio = [audio_buf[i][emitted_map[i]].reshape(-1) if frames[i] > 0 else None
-             for i in range(b)]
+    if engine.keep_audio:
+        audio_buf = np.asarray(state.audio)      # [B, max_steps, hop]
+        emitted_map = np.asarray(state.emitted)  # [B, max_steps]
+        audio = [audio_buf[i][emitted_map[i]].reshape(-1) if frames[i] > 0 else None
+                 for i in range(b)]
+    else:
+        audio = [None] * b  # streaming consumers got the chunks already
     tokens = np.asarray(state.tokens)[:, : int(np.asarray(state.step))]
     return GenerationResult(tokens=tokens, audio=audio,
                             reach_max=np.asarray(state.reach_max), steps=steps_done)

@@ -78,8 +78,8 @@ def precompute_modulations(params: Params, cfg: DiffusionHeadConfig,
     c = condition @ params["cond_proj"]                # [N, H]
     c_all = c[None, :, :] + t_emb[:, None, :]          # [S, N, H]
     silu_c = jax.nn.silu(c_all)
-    layer_mods = [silu_c @ lp["ada_w"] for lp in params["layers"]]  # [S, N, 3H]
-    final_mod = silu_c @ params["final_ada_w"]                      # [S, N, 2H]
+    layer_mods = [mm(silu_c, lp["ada_w"]) for lp in params["layers"]]  # [S, N, 3H]
+    final_mod = mm(silu_c, params["final_ada_w"])                      # [S, N, 2H]
     return layer_mods, final_mod
 
 
@@ -109,13 +109,13 @@ def apply(params: Params, cfg: DiffusionHeadConfig,
     c = condition @ params["cond_proj"] + t_emb
 
     for lp in params["layers"]:
-        mod = jax.nn.silu(c) @ lp["ada_w"]
+        mod = mm(jax.nn.silu(c), lp["ada_w"])
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         h = rms_norm(x, lp["norm_w"], eps) * (1 + scale) + shift
         h = mm(jax.nn.silu(mm(h, lp["gate"])) * mm(h, lp["up"]), lp["down"])
         x = x + gate * h
 
-    mod = jax.nn.silu(c) @ params["final_ada_w"]
+    mod = mm(jax.nn.silu(c), params["final_ada_w"])
     shift, scale = jnp.split(mod, 2, axis=-1)
     x = rms_norm(x, None, eps) * (1 + scale) + shift
     return x @ params["final_linear"]

@@ -160,23 +160,30 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
     new_kv = None
     use_kernel = False
     if cache_full is not None:
-        k_full, v_full, li, pos = cache_full
+        k_full, v_full, li, pos, row_off = cache_full
         k2 = k.reshape(b, t, nkv * hd)  # fused (KVH*D) cache lanes
         if pos.ndim == 0:
             # uniform write position: a single dynamic_update_slice on the
-            # full buffer — XLA aliases it in place (no cache copy)
+            # full buffer — XLA aliases it in place (no cache copy).
+            # row_off (static) lets prefill write a sub-range of the cache
+            # rows (positive stream at [0:B], CFG pre-seed at [B:2B]) so the
+            # unified cache is allocated ONCE, never concatenated.
             li_ = jnp.int32(li)
             z = jnp.int32(0)
             k_full = lax.dynamic_update_slice(
-                k_full, k2.astype(k_full.dtype)[None], (li_, z, pos, z))
+                k_full, k2.astype(k_full.dtype)[None], (li_, jnp.int32(row_off), pos, z))
             v_full = lax.dynamic_update_slice(
-                v_full, v.astype(v_full.dtype)[None], (li_, z, pos, z))
+                v_full, v.astype(v_full.dtype)[None], (li_, jnp.int32(row_off), pos, z))
         else:
             # per-sample write positions (legacy path; lowers to scatter)
             def _wr(c, kk, p):
                 return lax.dynamic_update_slice(c, kk, (p, 0))
-            k_full = k_full.at[li].set(jax.vmap(_wr)(k_full[li], k2.astype(k_full.dtype), pos))
-            v_full = v_full.at[li].set(jax.vmap(_wr)(v_full[li], v.astype(v_full.dtype), pos))
+            upd = jax.vmap(_wr)(k_full[li, row_off:row_off + b],
+                                k2.astype(k_full.dtype), pos)
+            k_full = k_full.at[li, row_off:row_off + b].set(upd)
+            upd_v = jax.vmap(_wr)(v_full[li, row_off:row_off + b],
+                                  v.astype(v_full.dtype), pos)
+            v_full = v_full.at[li, row_off:row_off + b].set(upd_v)
         new_kv = (k_full, v_full)
         use_kernel = decode_ctx is not None and t == 1
 
@@ -195,8 +202,8 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
     else:
         if cache_full is not None:
             s_max = k_full.shape[2]
-            k_att = k_full[li].reshape(b, s_max, nkv, hd)
-            v_att = v_full[li].reshape(b, s_max, nkv, hd)
+            k_att = k_full[li, row_off:row_off + b].reshape(b, s_max, nkv, hd)
+            v_att = v_full[li, row_off:row_off + b].reshape(b, s_max, nkv, hd)
         else:
             k_att, v_att = k, v.reshape(b, t, nkv, hd)
         att = _attend(q, k_att, v_att, bias)
@@ -219,10 +226,12 @@ def forward(
     pad_mask: Optional[jnp.ndarray] = None,
     use_flash: bool = False,
     decode_ctx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    batch_offset: int = 0,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack. With `cache`, keys/values are appended at
-    `write_pos` (same for all samples — left-padded batching) and attention
-    spans the cache; without, attention spans the inputs (bias supplied)."""
+    `write_pos` (same for all samples — left-padded batching) into cache rows
+    [batch_offset : batch_offset+B] and attention spans the cache; without,
+    attention spans the inputs (bias supplied)."""
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     x = inputs_embeds
     k_full = cache.k if cache is not None else None
@@ -230,7 +239,7 @@ def forward(
     for li, lp in enumerate(params["layers"]):
         cache_full = None
         if cache is not None:
-            cache_full = (k_full, v_full, li, write_pos)
+            cache_full = (k_full, v_full, li, write_pos, batch_offset)
         x, nkv = _layer(lp, cfg, x, cos, sin, cache_full, attn_bias,
                         pad_mask=pad_mask, use_flash=use_flash, decode_ctx=decode_ctx)
         if nkv is not None:
@@ -259,13 +268,25 @@ def positions_from_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(pos, 0)
 
 
+def embed_rows(lm_params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding lookup that accepts a plain [V, H] table or an int8 dict
+    (per-row scales — only the gathered rows are dequantized)."""
+    e = lm_params["embed"]
+    if isinstance(e, dict) and "qint8" in e:
+        return e["qint8"][ids].astype(e["scale"].dtype) * e["scale"][ids][..., None]
+    return e[ids]
+
+
 def logits(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray,
            lm_head=None) -> jnp.ndarray:
     """LM head; tied to the embedding when `lm_head` is None
     (ref modeling_vibevoice_inference.py:120-129).  Accepts a quantized
     (int8 dict) head."""
     if lm_head is None:
-        return hidden @ params["embed"].T
+        e = params["embed"]
+        if isinstance(e, dict):  # int8 embed: h @ q^T, then per-row scales
+            return (hidden @ e["qint8"].astype(hidden.dtype).T) * e["scale"].astype(hidden.dtype)
+        return hidden @ e.T
     return mm(hidden, lm_head)
 
 
@@ -273,6 +294,7 @@ __all__ = [
     "init",
     "forward",
     "logits",
+    "embed_rows",
     "KVCache",
     "kv_cache_init",
     "rope_cos_sin",

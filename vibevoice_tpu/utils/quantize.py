@@ -30,11 +30,13 @@ def mm(x: jnp.ndarray, w) -> jnp.ndarray:
     return x @ w
 
 
-def quantize_lm(lm_params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_lm(lm_params: Dict[str, Any], quantize_embed: bool = False) -> Dict[str, Any]:
     """Quantize the Qwen2 projection weights (q/k/v/o, gate/up/down).
 
-    Embedding stays bf16 (row-gather reads only touched rows); the logits
-    path gets its own int8 copy via `quantize_lm_head`.
+    The embedding stays bf16 by default (row-gather reads only touched
+    rows, so it is not a bandwidth problem — quantizing it is a MEMORY
+    lever, e.g. fitting 7B on one 16 GB chip); the logits path gets its own
+    int8 copy in `quantize_model`.
     """
     out = dict(lm_params)
     layers = []
@@ -48,6 +50,8 @@ def quantize_lm(lm_params: Dict[str, Any]) -> Dict[str, Any]:
             nl[name] = quantize_weight(lp[name])
         layers.append(nl)
     out["layers"] = layers
+    if quantize_embed:
+        out["embed"] = quantize_weight(lm_params["embed"], axis=1)  # per-row scale
     return out
 
 
@@ -65,23 +69,27 @@ def quantize_diffusion_head(head_params: Dict[str, Any]) -> Dict[str, Any]:
     layers = []
     for lp in head_params["layers"]:
         nl = dict(lp)
-        for name in ("gate", "up", "down"):
+        for name in ("ada_w", "gate", "up", "down"):
             nl[name] = quantize_weight(lp[name])
         layers.append(nl)
     out["layers"] = layers
+    out["final_ada_w"] = quantize_weight(head_params["final_ada_w"])
     return out
 
 
-def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True) -> Dict[str, Any]:
-    """Quantize the LM (and untied lm_head) + diffusion-head FFN; the conv
+def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True,
+                   quantize_embed: bool = False) -> Dict[str, Any]:
+    """Quantize the LM (and untied lm_head) + diffusion head; the conv
     tokenizers stay bf16 (their weights are small — dispatch-bound, not
     weight-bandwidth-bound).
 
     For tied embeddings an int8 copy of embed^T is added for the logits
     matmul (`lm_head`), trading ~0.5x embed memory for 2x logits bandwidth.
+    `quantize_embed` additionally stores the embedding table itself in int8
+    with per-row scales (a memory lever; lookups dequantize gathered rows).
     """
     out = dict(params)
-    out["lm"] = quantize_lm(params["lm"])
+    out["lm"] = quantize_lm(params["lm"], quantize_embed=quantize_embed)
     out["diffusion_head"] = quantize_diffusion_head(params["diffusion_head"])
     if params.get("lm_head") is not None:
         out["lm_head"] = quantize_weight(params["lm_head"])
