@@ -37,15 +37,11 @@ def bench_batch(params, cfg, batch: int, steps: int = 32, prompt_len: int = 64):
     sim = np.zeros((batch, prompt_len), bool)
     state, _ = eng.prefill(ids, mask, sim)
     state, _ = eng.decode_chunk(state, steps)   # warmup incl. compile
-    jax.block_until_ready(state.audio)
-    # measure (note: state was donated; continue from returned state)
-    t0 = time.perf_counter()
-    state, _ = eng.decode_chunk(state, 2)
-    jax.block_until_ready(state.audio)
-    # steady-state: time a fresh engine pass of `steps`
+    _ = int(np.asarray(state.frames).sum())     # tunnel-safe sync
+    # steady-state: time a fresh pass of `steps`
     t0 = time.perf_counter()
     state, _ = eng.decode_chunk(state, steps)
-    jax.block_until_ready(state.audio)
+    _ = int(np.asarray(state.frames).sum())
     dt = time.perf_counter() - t0
     hop = cfg.speech_compress_ratio
     audio_sec = steps * batch * hop / 24000.0
