@@ -106,10 +106,12 @@ max_steps = ctx - prompt_len
 gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          speech_diffusion_id=151654, eos_id=151643,
                          ddpm_steps=10, force_diffusion=True)
+kv_dtype = _os.environ.get("KV", "model")  # KV=int8: quantized KV cache
 t0 = time.perf_counter()
 eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=1,
                prompt_len=prompt_len, dtype=jnp.bfloat16,
-               keep_audio=False)  # serving mode: chunks stream per step
+               keep_audio=False,  # serving mode: chunks stream per step
+               kv_dtype=kv_dtype)
 print(f"engine built (cache {ctx}): {time.perf_counter()-t0:.1f}s "
       f"flash_prefill={eng.use_flash_prefill} flash_decode={eng.use_flash_decode}", flush=True)
 
@@ -128,6 +130,6 @@ t0 = time.perf_counter()
 state, _ = eng.decode_chunk(state, 16)
 f = int(np.asarray(state.frames).sum())
 dt = time.perf_counter() - t0
-print(json.dumps({"model": "7B-int8", "cache": ctx,
+print(json.dumps({"model": "7B-int8", "cache": ctx, "kv": kv_dtype,
                   "ms_per_frame": round(dt / 16 * 1000, 2),
                   "rtf": round(16 * hop / 24000.0 / dt, 2), "frames": f}), flush=True)

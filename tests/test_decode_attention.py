@@ -47,3 +47,48 @@ def test_decode_attention_matches_naive(s, h, kvh, block, monkeypatch):
     ref = naive(q, k_full[layer].reshape(b, s, kvh, d),
                 v_full[layer].reshape(b, s, kvh, d), vis)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_decode_attention_int8_kv(monkeypatch):
+    """int8-quantized cache + per-slot scales, dequantized in-kernel."""
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(da.pl, "pallas_call", interp)
+
+    s, h, kvh, d, b, layer = 512, 8, 2, 64, 2, 1
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv2 = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, d)) * 0.3
+    k_fp = jax.random.normal(kk, (3, b, s, kvh * d)) * 0.3
+    v_fp = jax.random.normal(kv2, (3, b, s, kvh * d)) * 0.3
+
+    # quantize per slot (same scheme as qwen2._quantize_slots)
+    def quant(x):
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        scale = amax / 127.0
+        qv = jnp.clip(jnp.round(x / jnp.maximum(scale, 1e-12)), -127, 127).astype(jnp.int8)
+        sc = jnp.broadcast_to(scale[..., 0][:, :, None, :], (3, b, 8, s)).astype(jnp.bfloat16)
+        return qv, sc
+
+    k_q, k_sc = quant(k_fp)
+    v_q, v_sc = quant(v_fp)
+
+    lengths = jnp.array([s // 2, s - 10], jnp.int32)
+    vis = (jnp.arange(s)[None, :] < lengths[:, None]).astype(jnp.int32)
+
+    out = da.decode_attention(q, k_q, v_q, layer, vis, lengths, block_k=128,
+                              k_scale=k_sc, v_scale=v_sc)
+    # reference: dequantized cache through the naive path
+    k_dq = (k_q[layer].astype(jnp.float32) * k_sc[layer, :, 0].astype(jnp.float32)[..., None]).reshape(b, s, kvh, d)
+    v_dq = (v_q[layer].astype(jnp.float32) * v_sc[layer, :, 0].astype(jnp.float32)[..., None]).reshape(b, s, kvh, d)
+    ref = naive(q, k_dq, v_dq, vis)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3, rtol=1e-2)
+    # and close to the unquantized attention (int8 noise only)
+    ref_fp = naive(q, k_fp[layer].reshape(b, s, kvh, d), v_fp[layer].reshape(b, s, kvh, d), vis)
+    corr = float(jnp.corrcoef(jnp.asarray(out).reshape(-1), ref_fp.reshape(-1))[0, 1])
+    assert corr > 0.999

@@ -138,3 +138,35 @@ def test_keep_audio_false_streams_same_chunks():
     np.testing.assert_allclose(slim, full, atol=1e-6)
     assert state_slim.audio.shape[1] == 1       # buffer dropped
     assert state_full.audio.shape[1] == 4
+
+
+def test_int8_kv_cache_engine_close_to_bf16():
+    from vibevoice_tpu.configs import tiny_config
+    from vibevoice_tpu.engine import generate as G
+    from vibevoice_tpu.models import vibevoice
+
+    cfg = tiny_config()
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    gen = G.GenerationConfig(speech_start_id=100, speech_end_id=101,
+                             speech_diffusion_id=102, eos_id=1,
+                             ddpm_steps=3, force_diffusion=True)
+
+    def run(kv_dtype):
+        eng = G.Engine(params, cfg, gen, max_steps=5, batch=1, prompt_len=16,
+                       kv_dtype=kv_dtype)
+        ids = np.zeros((1, 16), np.int32)
+        mask = np.ones((1, 16), np.int32)
+        sim = np.zeros((1, 16), bool)
+        state, _ = eng.prefill(ids, mask, sim, rng=jax.random.PRNGKey(2))
+        for _ in range(4):
+            state, _ = eng.step(state)
+        return np.asarray(state.audio).reshape(-1), np.asarray(state.tokens)
+
+    a_fp, t_fp = run("model")
+    a_q, t_q = run("int8")
+    np.testing.assert_array_equal(t_q, t_fp)  # same control-token path
+    assert np.isfinite(a_q).all()
+    corr = float(np.corrcoef(a_fp, a_q)[0, 1])
+    assert corr > 0.99

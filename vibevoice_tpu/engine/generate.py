@@ -131,9 +131,15 @@ class Engine:
                  dtype=jnp.float32, inject_latent_noise: bool = False,
                  use_flash_prefill: Optional[bool] = None,
                  use_fused_vocoder: bool = False,
-                 keep_audio: bool = True):
+                 keep_audio: bool = True,
+                 kv_dtype: str = "model"):
         self.inject_latent_noise = inject_latent_noise
         self.use_fused_vocoder = use_fused_vocoder
+        # kv_dtype="int8": per-slot symmetric int8 KV cache (half the cache
+        # memory and long-context attention reads; dequantized in-kernel)
+        if kv_dtype not in ("model", "int8"):
+            raise ValueError(f"kv_dtype must be 'model' or 'int8', got {kv_dtype}")
+        self.kv_quant = kv_dtype == "int8"
         # keep_audio=False drops the on-device [B, max_steps, hop] waveform
         # accumulator (e.g. 813 MB for a 90-min run) — streaming consumers
         # get per-step chunks from StepOutput instead
@@ -361,7 +367,8 @@ class Engine:
         # ONE unified-cache allocation (rows [:B] positive, [B:] negative);
         # prefill writes row sub-ranges in place — no pos/neg concat, which
         # would transiently double cache memory (OOM for 7B/32K on one chip)
-        cache = qwen2.kv_cache_init(dec, 2 * b, self.cache_len, self.dtype)
+        cache = qwen2.kv_cache_init(dec, 2 * b, self.cache_len, self.dtype,
+                                    quantized=self.kv_quant)
 
         # positive prefill into rows [:B]
         bias_t0 = qwen2.causal_bias(attention_mask, t0)

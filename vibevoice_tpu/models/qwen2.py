@@ -96,15 +96,36 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 class KVCache(NamedTuple):
     # KVH and D are fused into one trailing dim: (S, KVH*D) tiles (8, 128)
     # natively on TPU, and the Pallas decode kernel reads the full stacked
-    # buffer without a per-layer slice/relayout (see ops/decode_attention.py)
-    k: jnp.ndarray  # [L, B, S, KVH*D]
+    # buffer without a per-layer slice/relayout (see ops/decode_attention.py).
+    # With k_scale/v_scale set, k/v hold int8 with per-slot symmetric scales
+    # (dequantized inside the decode kernel) — halves cache memory and
+    # long-context attention reads.  Scales are stored broadcast over 8
+    # sublanes so Mosaic blocks tile natively.
+    k: jnp.ndarray  # [L, B, S, KVH*D] (model dtype, or int8 when quantized)
     v: jnp.ndarray  # [L, B, S, KVH*D]
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, 8, S] bf16
+    v_scale: Optional[jnp.ndarray] = None  # [L, B, 8, S] bf16
 
 
-def kv_cache_init(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
+def kv_cache_init(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.float32,
+                  quantized: bool = False) -> KVCache:
     shape = (cfg.num_hidden_layers, batch, max_len,
              cfg.num_key_value_heads * cfg.head_dim)
+    if quantized:
+        sshape = (cfg.num_hidden_layers, batch, 8, max_len)
+        return KVCache(k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(sshape, jnp.bfloat16),
+                       v_scale=jnp.zeros(sshape, jnp.bfloat16))
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _quantize_slots(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x [B, T, F] -> int8 [B, T, F] + per-slot scale [B, T] (symmetric)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-12)),
+                 -127, 127).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -131,12 +152,12 @@ def _attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
            cos: jnp.ndarray, sin: jnp.ndarray,
-           cache_full: Optional[Tuple[jnp.ndarray, jnp.ndarray, int, jnp.ndarray]],
+           cache_full: Optional[Tuple[KVCache, int, jnp.ndarray, int]],
            bias: jnp.ndarray,
            pad_mask: Optional[jnp.ndarray] = None,
            use_flash: bool = False,
-           decode_ctx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
-    """One decoder layer. If `cache_full=(k_full, v_full, layer_idx, write_pos)`
+           decode_ctx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """One decoder layer. If `cache_full=(cache, layer_idx, write_pos, row_off)`
     is given, new k/v are written at write_pos (directly into the full
     [L, B, S, KVH*D] buffers — one in-place dynamic_update_slice each, so
     the cache is alias-updated across `lax.scan` decode steps with zero
@@ -157,11 +178,19 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
     q = apply_rope(q.reshape(b, t, nh, hd), cos, sin)
     k = apply_rope(k.reshape(b, t, nkv, hd), cos, sin)
 
-    new_kv = None
+    new_cache = None
     use_kernel = False
+    quant = False
     if cache_full is not None:
-        k_full, v_full, li, pos, row_off = cache_full
+        cache, li, pos, row_off = cache_full
+        k_full, v_full = cache.k, cache.v
+        ks_full, vs_full = cache.k_scale, cache.v_scale
+        quant = ks_full is not None
         k2 = k.reshape(b, t, nkv * hd)  # fused (KVH*D) cache lanes
+        v2 = v
+        if quant:
+            k2, k_sc = _quantize_slots(k2)   # [B,T,F] int8, [B,T]
+            v2, v_sc = _quantize_slots(v2)
         if pos.ndim == 0:
             # uniform write position: a single dynamic_update_slice on the
             # full buffer — XLA aliases it in place (no cache copy).
@@ -170,21 +199,32 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
             # unified cache is allocated ONCE, never concatenated.
             li_ = jnp.int32(li)
             z = jnp.int32(0)
+            ro = jnp.int32(row_off)
             k_full = lax.dynamic_update_slice(
-                k_full, k2.astype(k_full.dtype)[None], (li_, jnp.int32(row_off), pos, z))
+                k_full, k2.astype(k_full.dtype)[None], (li_, ro, pos, z))
             v_full = lax.dynamic_update_slice(
-                v_full, v.astype(v_full.dtype)[None], (li_, jnp.int32(row_off), pos, z))
+                v_full, v2.astype(v_full.dtype)[None], (li_, ro, pos, z))
+            if quant:
+                # scale slabs [1, B, 8, T] at (li, row_off, 0, pos)
+                ks_slab = jnp.broadcast_to(k_sc[:, None, :], (b, 8, t))[None]
+                vs_slab = jnp.broadcast_to(v_sc[:, None, :], (b, 8, t))[None]
+                ks_full = lax.dynamic_update_slice(ks_full, ks_slab.astype(ks_full.dtype),
+                                                   (li_, ro, z, pos))
+                vs_full = lax.dynamic_update_slice(vs_full, vs_slab.astype(vs_full.dtype),
+                                                   (li_, ro, z, pos))
         else:
             # per-sample write positions (legacy path; lowers to scatter)
+            if quant:
+                raise NotImplementedError("per-sample writes with int8 KV cache")
             def _wr(c, kk, p):
                 return lax.dynamic_update_slice(c, kk, (p, 0))
             upd = jax.vmap(_wr)(k_full[li, row_off:row_off + b],
                                 k2.astype(k_full.dtype), pos)
             k_full = k_full.at[li, row_off:row_off + b].set(upd)
             upd_v = jax.vmap(_wr)(v_full[li, row_off:row_off + b],
-                                  v.astype(v_full.dtype), pos)
+                                  v2.astype(v_full.dtype), pos)
             v_full = v_full.at[li, row_off:row_off + b].set(upd_v)
-        new_kv = (k_full, v_full)
+        new_cache = KVCache(k=k_full, v=v_full, k_scale=ks_full, v_scale=vs_full)
         use_kernel = decode_ctx is not None and t == 1
 
     if use_flash and t > 1:
@@ -195,15 +235,24 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
     elif use_kernel:
         # long-context decode: Pallas kernel reads the full stacked cache
         # (layer index folded into the block map — no slice materialization)
-        # and skips beyond-length cache blocks
+        # and skips beyond-length cache blocks; int8 caches dequantize
+        # per-block inside the kernel
         from ..ops.decode_attention import decode_attention
         visible, lengths = decode_ctx
-        att = decode_attention(q[:, 0], k_full, v_full, li, visible, lengths)[:, None]
+        att = decode_attention(q[:, 0], k_full, v_full, li, visible, lengths,
+                               k_scale=ks_full, v_scale=vs_full)[:, None]
     else:
         if cache_full is not None:
             s_max = k_full.shape[2]
-            k_att = k_full[li, row_off:row_off + b].reshape(b, s_max, nkv, hd)
-            v_att = v_full[li, row_off:row_off + b].reshape(b, s_max, nkv, hd)
+            k_att = k_full[li, row_off:row_off + b]
+            v_att = v_full[li, row_off:row_off + b]
+            if quant:
+                k_att = (k_att.astype(x.dtype)
+                         * ks_full[li, row_off:row_off + b, 0].astype(x.dtype)[..., None])
+                v_att = (v_att.astype(x.dtype)
+                         * vs_full[li, row_off:row_off + b, 0].astype(x.dtype)[..., None])
+            k_att = k_att.reshape(b, s_max, nkv, hd)
+            v_att = v_att.reshape(b, s_max, nkv, hd)
         else:
             k_att, v_att = k, v.reshape(b, t, nkv, hd)
         att = _attend(q, k_att, v_att, bias)
@@ -212,7 +261,7 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
 
     hn = rms_norm(x, lp["post_norm_w"], cfg.rms_norm_eps)
     mlp = mm(jax.nn.silu(mm(hn, lp["gate"])) * mm(hn, lp["up"]), lp["down"])
-    return x + mlp, new_kv
+    return x + mlp, new_cache
 
 
 def forward(
@@ -234,19 +283,17 @@ def forward(
     attention spans the inputs (bias supplied)."""
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     x = inputs_embeds
-    k_full = cache.k if cache is not None else None
-    v_full = cache.v if cache is not None else None
+    cur = cache
     for li, lp in enumerate(params["layers"]):
         cache_full = None
-        if cache is not None:
-            cache_full = (k_full, v_full, li, write_pos, batch_offset)
-        x, nkv = _layer(lp, cfg, x, cos, sin, cache_full, attn_bias,
-                        pad_mask=pad_mask, use_flash=use_flash, decode_ctx=decode_ctx)
-        if nkv is not None:
-            k_full, v_full = nkv
+        if cur is not None:
+            cache_full = (cur, li, write_pos, batch_offset)
+        x, ncache = _layer(lp, cfg, x, cos, sin, cache_full, attn_bias,
+                           pad_mask=pad_mask, use_flash=use_flash, decode_ctx=decode_ctx)
+        if ncache is not None:
+            cur = ncache
     x = rms_norm(x, params["final_norm_w"], cfg.rms_norm_eps)
-    new_cache = KVCache(k=k_full, v=v_full) if cache is not None else None
-    return x, new_cache
+    return x, cur
 
 
 def causal_bias(attention_mask: jnp.ndarray, t: int) -> jnp.ndarray:

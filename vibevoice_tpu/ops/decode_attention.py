@@ -33,9 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(len_ref, q_ref, k_ref, v_ref, vis_ref, o_ref,
-            m_scratch, l_scratch, acc_scratch,
-            *, scale: float, block_k: int, kvh: int, group: int):
+def _kernel(len_ref, q_ref, k_ref, v_ref, vis_ref, *rest,
+            scale: float, block_k: int, kvh: int, group: int, quant: bool):
+    if quant:
+        ks_ref, vs_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = rest
     b = pl.program_id(0)
     ik = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -53,12 +56,24 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, vis_ref, o_ref,
         q = q_ref[0]              # [H, D]
         vis = vis_ref[0, 0]       # [block_k]
         d = q_ref.shape[-1]
+        if quant:
+            # per-slot scales lie along LANES of the [G, bk] logits, so they
+            # fold into the logits / probabilities instead of scaling k/v
+            # rows (which would need an unsupported 16-bit lane->sublane
+            # reshape): q·(k*ks) == (q·k)*ks and p@(v*vs) == (p*vs)@v.
+            ksc = ks_ref[0, 0, 0].astype(jnp.float32)[None, :]  # [1, bk]
+            vsc = vs_ref[0, 0, 0].astype(jnp.float32)[None, :]
         for hk in range(kvh):
             k = k_ref[0, 0][:, hk * d:(hk + 1) * d]    # [bk, D]
             v = v_ref[0, 0][:, hk * d:(hk + 1) * d]
+            if quant:
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
             qh = q[hk * group:(hk + 1) * group]  # [G, D]
             s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale  # [G, bk]
+            if quant:
+                s = s * ksc
             s = jnp.where(vis[None, :] > 0, s, NEG_INF)
 
             rows = slice(hk * group, (hk + 1) * group)
@@ -68,8 +83,9 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, vis_ref, o_ref,
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m_prev - m_new)
             l_scratch[rows, 0:1] = alpha * l_scratch[rows, 0:1] + jnp.sum(p, -1, keepdims=True)
+            pv = (p * vsc) if quant else p
             acc_scratch[rows, :] = acc_scratch[rows, :] * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                pv.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m_scratch[rows, 0:1] = m_new
 
@@ -87,8 +103,11 @@ def decode_attention(
     visible: jnp.ndarray,  # [B, S] int (1 = attendable)
     lengths: jnp.ndarray,  # [B] int32: visible slots all < lengths[b]
     block_k: int = 2048,
+    k_scale: jnp.ndarray = None,  # [L, B, 8, S] per-slot scales (int8 cache)
+    v_scale: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Returns [B, H, D]."""
+    quant = k_scale is not None
     b, h, d = q.shape
     s = k_full.shape[2]
     kvh = k_full.shape[3] // d
@@ -114,15 +133,26 @@ def decode_attention(
         last = jnp.maximum((len_ref[ib] - 1) // block_k, 0)
         return (ib, 0, jnp.minimum(ik, last))
 
+    def _clamped_scale(ib, ik, len_ref):
+        last = jnp.maximum((len_ref[ib] - 1) // block_k, 0)
+        return (layer, ib, 0, jnp.minimum(ik, last))
+
+    in_specs = [
+        pl.BlockSpec((1, h, d), lambda ib, ik, len_ref: (ib, 0, 0)),
+        pl.BlockSpec((1, 1, block_k, kvh * d), _clamped),
+        pl.BlockSpec((1, 1, block_k, kvh * d), _clamped),
+        pl.BlockSpec((1, 8, block_k), _clamped_vis),
+    ]
+    operands = [lengths, q, k_full, v_full, visible]
+    if quant:
+        in_specs += [pl.BlockSpec((1, 1, 8, block_k), _clamped_scale),
+                     pl.BlockSpec((1, 1, 8, block_k), _clamped_scale)]
+        operands += [k_scale, v_scale]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nk),
-        in_specs=[
-            pl.BlockSpec((1, h, d), lambda ib, ik, len_ref: (ib, 0, 0)),
-            pl.BlockSpec((1, 1, block_k, kvh * d), _clamped),
-            pl.BlockSpec((1, 1, block_k, kvh * d), _clamped),
-            pl.BlockSpec((1, 8, block_k), _clamped_vis),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, h, d), lambda ib, ik, len_ref: (ib, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((h, 128), jnp.float32),
@@ -132,12 +162,12 @@ def decode_attention(
     )
 
     kernel = functools.partial(_kernel, scale=scale, block_k=block_k,
-                               kvh=kvh, group=group)
+                               kvh=kvh, group=group, quant=quant)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
-    )(lengths, q, k_full, v_full, visible)
+    )(*operands)
 
 
 __all__ = ["decode_attention"]

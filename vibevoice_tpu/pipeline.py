@@ -28,10 +28,11 @@ class VibeVoiceTTS:
                  dtype=jnp.bfloat16, ddpm_steps: int = 10, cfg_scale: float = 1.3,
                  prompt_bucket: int = 256, quantize: Optional[str] = None,
                  do_sample: bool = False, refresh_negative: bool = True,
-                 algorithm_type: str = "dpmsolver++"):
+                 algorithm_type: str = "dpmsolver++", kv_dtype: str = "model"):
         self.do_sample = do_sample
         self.refresh_negative = refresh_negative
         self.algorithm_type = algorithm_type
+        self.kv_dtype = kv_dtype
         if quantize == "int8":
             from .utils.quantize import quantize_model
             params = quantize_model(params, cfg.decoder.tie_word_embeddings)
@@ -87,7 +88,8 @@ class VibeVoiceTTS:
             )
             self._engines[key] = G.Engine(self.params, self.cfg, gen,
                                           max_steps=max_steps, batch=batch,
-                                          prompt_len=bucket, dtype=self.dtype)
+                                          prompt_len=bucket, dtype=self.dtype,
+                                          kv_dtype=self.kv_dtype)
         return self._engines[key]
 
     # ------------------------------------------------------------------
