@@ -15,14 +15,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from vibevoice_tpu.configs import vibevoice_1_5b
 from vibevoice_tpu.engine import generate as G
 from vibevoice_tpu.models import vibevoice
+from vibevoice_tpu.utils.quantize import quantize_model
+
+KV = os.environ.get("KV", "model")       # KV=int8: quantized KV cache
+W8 = os.environ.get("W8", "0") == "1"    # W8=1: int8 weights
 
 cfg = vibevoice_1_5b()
 hop = cfg.speech_compress_ratio
 params = jax.jit(lambda k: vibevoice.init_model(k, cfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
 params["speech_scaling_factor"] = jnp.asarray(1.0)
 params["speech_bias_factor"] = jnp.asarray(0.0)
-_ = float(params["lm"]["embed"][0, 0])
-print("init done", flush=True)
+if W8:
+    params = quantize_model(params, True)
+_ = float(np.asarray(jax.tree_util.tree_leaves(params["lm"]["embed"])[0][0, 0]))
+print(f"init done (W8={W8} KV={KV})", flush=True)
 
 prompt_len = 2048
 max_steps = 65536 - prompt_len
@@ -30,7 +36,7 @@ gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          speech_diffusion_id=151654, eos_id=151643,
                          ddpm_steps=10, force_diffusion=True)
 eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=1,
-               prompt_len=prompt_len, dtype=jnp.bfloat16)
+               prompt_len=prompt_len, dtype=jnp.bfloat16, kv_dtype=KV)
 
 ids = np.zeros((1, prompt_len), np.int32)
 mask = np.ones((1, prompt_len), np.int32)
@@ -60,7 +66,7 @@ for live in (4096, 16384, 32768, 49152, 63488):
     state, _ = eng.decode_chunk(state, 16)
     _ = int(np.asarray(state.frames).sum())
     dt = time.perf_counter() - t0
-    rec = {"live": live, "ms_per_frame": round(dt / 16 * 1000, 2),
+    rec = {"live": live, "kv": KV, "w8": W8, "ms_per_frame": round(dt / 16 * 1000, 2),
            "rtf": round(16 * hop / 24000.0 / dt, 2)}
     results.append(rec)
     print(json.dumps(rec), flush=True)
