@@ -122,7 +122,10 @@ def kv_cache_init(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.float32,
 def _quantize_slots(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x [B, T, F] -> int8 [B, T, F] + per-slot scale [B, T] (symmetric)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = amax / 127.0
+    # round the scale to bf16 FIRST so quantize and dequantize use the
+    # identical value (the stored scale is bf16; dividing by the fp32 scale
+    # would add a small systematic dequant error)
+    scale = (amax / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-12)),
                  -127, 127).astype(jnp.int8)
     return q, scale[..., 0].astype(jnp.bfloat16)

@@ -117,6 +117,14 @@ def decode_attention(
     block_k = min(block_k, s)
     while s % block_k:
         block_k //= 2
+    # Contract: callers allocate caches so blocks stay tileable (the Engine
+    # rounds to 2048-slot multiples).  A width like 2056 would halve down to
+    # degenerate 8-wide blocks — reject instead of silently running slow.
+    # (Sub-128 widths are allowed as a single block: tiny-cache tests.)
+    if block_k < min(128, s):
+        raise ValueError(
+            f"cache width {s} only tiles into {block_k}-wide blocks; allocate "
+            f"the cache in 128-slot (ideally 2048-slot) multiples")
     nk = s // block_k
     # TPU blocks need sublane divisible by 8: broadcast the mask to 8 rows.
     # (one instance per step — CSE dedupes it across the 28 layer calls)

@@ -13,6 +13,18 @@ beta schedule (:51-83, :239-245), but the stateful class is re-designed as:
                           no mutable `self.model_outputs` — the history is a
                           stacked array carried through the scan).
 
+Full surface parity with the reference fork:
+  * algorithms: dpmsolver++ / sde-dpmsolver++ (data prediction) and
+    dpmsolver / sde-dpmsolver (noise prediction) — ref :596-625, :640-694
+  * solver orders 1-3 (third-order multistep, ref :819-933; the reference
+    implements no sde third order, mirrored here as a config-time error)
+  * timestep spacing: linspace / leading (+steps_offset) / trailing
+    (ref :357-381)
+  * karras / lu-lambdas sigma schedules (ref :490-526) with the
+    interpolating `_sigma_to_t` inverse (ref :441-463)
+  * `rescale_betas_zero_snr` (ref rescale_zero_terminal_snr :87-120, applied
+    at :249-258 with the 2**-24 terminal alphas_cumprod patch)
+
 fp32 islands follow the reference: `step` upcasts the sample to float32
 (:992-993) and casts the result back.
 """
@@ -26,6 +38,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_ALGORITHMS = ("dpmsolver++", "sde-dpmsolver++", "dpmsolver", "sde-dpmsolver")
+
 
 @dataclass(frozen=True)
 class SolverConfig:
@@ -34,14 +48,44 @@ class SolverConfig:
     beta_end: float = 0.02
     beta_schedule: str = "cosine"          # linear | scaled_linear | cosine | squaredcos_cap_v2 | cauchy | laplace
     prediction_type: str = "v_prediction"  # epsilon | sample | v_prediction
-    algorithm_type: str = "dpmsolver++"    # dpmsolver++ | sde-dpmsolver++
+    algorithm_type: str = "dpmsolver++"    # dpmsolver++ | sde-dpmsolver++ | dpmsolver | sde-dpmsolver
     solver_order: int = 2
     solver_type: str = "midpoint"
     lower_order_final: bool = True
     euler_at_final: bool = False
     final_sigmas_type: str = "zero"        # zero | sigma_min
-    timestep_spacing: str = "linspace"
+    timestep_spacing: str = "linspace"     # linspace | leading | trailing
+    steps_offset: int = 0
     lambda_min_clipped: float = -float("inf")
+    use_karras_sigmas: bool = False
+    use_lu_lambdas: bool = False
+    rescale_betas_zero_snr: bool = False
+
+    def __post_init__(self):
+        if self.algorithm_type not in _ALGORITHMS:
+            raise ValueError(f"unknown algorithm_type {self.algorithm_type}")
+        if self.solver_order not in (1, 2, 3):
+            raise ValueError("solver_order must be 1, 2 or 3")
+        if self.solver_order == 3 and self.algorithm_type.startswith("sde"):
+            # the reference implements no sde third-order update (:819-933
+            # covers dpmsolver++/dpmsolver only)
+            raise NotImplementedError("third order is not defined for sde solvers")
+        if self.use_karras_sigmas and self.use_lu_lambdas:
+            raise ValueError("choose at most one of karras / lu sigma schedules")
+        if self.algorithm_type in ("dpmsolver", "sde-dpmsolver") and self.final_sigmas_type == "zero":
+            # noise-prediction solvers divide by sigma; a zero final sigma is
+            # rejected by the reference too (ref :280-284)
+            raise ValueError(
+                f"final_sigmas_type 'zero' is not supported for {self.algorithm_type}; "
+                "use 'sigma_min'")
+
+    @property
+    def data_prediction(self) -> bool:
+        return self.algorithm_type in ("dpmsolver++", "sde-dpmsolver++")
+
+    @property
+    def is_sde(self) -> bool:
+        return self.algorithm_type.startswith("sde")
 
 
 def _betas_for_alpha_bar(n: int, kind: str, max_beta: float = 0.999) -> np.ndarray:
@@ -66,6 +110,23 @@ def _betas_for_alpha_bar(n: int, kind: str, max_beta: float = 0.999) -> np.ndarr
     return np.array(betas, dtype=np.float32)
 
 
+def _rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """ref rescale_zero_terminal_snr :87-120 (arXiv 2305.08891 alg. 1).
+
+    Shifts sqrt(alphas_cumprod) so the terminal value is exactly zero, then
+    rescales so the first value is unchanged; betas are recovered from the
+    adjusted cumprod.  Math in float64, rounded to fp32 like torch fp32 ops.
+    """
+    alphas = 1.0 - betas.astype(np.float64)
+    ac = np.cumprod(alphas)
+    abs_sqrt = np.sqrt(ac)
+    a0, aT = abs_sqrt[0], abs_sqrt[-1]
+    abs_sqrt = (abs_sqrt - aT) * (a0 / (a0 - aT))
+    ab = abs_sqrt ** 2
+    alphas = np.concatenate([ab[:1], ab[1:] / ab[:-1]])
+    return (1.0 - alphas).astype(np.float32)
+
+
 class SolverTables(NamedTuple):
     alphas_cumprod: np.ndarray  # [T] fp32
     alpha_t: np.ndarray         # sqrt(alphas_cumprod)
@@ -86,9 +147,14 @@ def make_tables(cfg: SolverConfig) -> SolverTables:
         betas = _betas_for_alpha_bar(n, cfg.beta_schedule)
     else:
         raise NotImplementedError(cfg.beta_schedule)
+    if cfg.rescale_betas_zero_snr:
+        betas = _rescale_zero_terminal_snr(betas)
     # torch.cumprod accumulates in extended precision; f64 cumprod rounded to
     # f32 reproduces it bit-exactly (np's f32 cumprod does not)
     alphas_cumprod = np.cumprod((1.0 - betas).astype(np.float64)).astype(np.float32)
+    if cfg.rescale_betas_zero_snr:
+        # "close to 0 without being 0 so first sigma is not inf" (ref :255-258)
+        alphas_cumprod[-1] = 2.0 ** -24
     alpha_t = np.sqrt(alphas_cumprod).astype(np.float32)
     sigma_t = np.sqrt(np.float32(1.0) - alphas_cumprod).astype(np.float32)
     lambda_t = (np.log(alpha_t) - np.log(sigma_t)).astype(np.float32)
@@ -103,8 +169,20 @@ class Schedule(NamedTuple):
     num_steps: int
 
 
+def _sigma_to_t(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
+    """Fractional train-timestep for each sigma by piecewise-log-linear
+    inversion of the training sigma table (ref _sigma_to_t :441-463)."""
+    log_sigma = np.log(np.maximum(sigma, 1e-10))
+    dists = log_sigma - log_sigmas[:, np.newaxis]
+    low_idx = np.cumsum((dists >= 0), axis=0).argmax(axis=0).clip(max=log_sigmas.shape[0] - 2)
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_sigma) / (low - high), 0, 1)
+    return ((1 - w) * low_idx + w * high_idx).reshape(sigma.shape)
+
+
 def set_timesteps(cfg: SolverConfig, tables: SolverTables, num_inference_steps: int) -> Schedule:
-    """ref set_timesteps :321-423 ('linspace' spacing path)."""
+    """ref set_timesteps :321-423."""
     if math.isinf(cfg.lambda_min_clipped):
         last_timestep = cfg.num_train_timesteps
     else:
@@ -117,6 +195,13 @@ def set_timesteps(cfg: SolverConfig, tables: SolverTables, num_inference_steps: 
             np.linspace(0, last_timestep - 1, num_inference_steps + 1)
             .round()[::-1][:-1].copy().astype(np.int64)
         )
+    elif cfg.timestep_spacing == "leading":
+        step_ratio = last_timestep // (num_inference_steps + 1)
+        timesteps = (
+            (np.arange(0, num_inference_steps + 1) * step_ratio)
+            .round()[::-1][:-1].copy().astype(np.int64)
+        )
+        timesteps += cfg.steps_offset
     elif cfg.timestep_spacing == "trailing":
         step_ratio = cfg.num_train_timesteps / num_inference_steps
         timesteps = np.arange(last_timestep, 0, -step_ratio).round().astype(np.int64) - 1
@@ -124,7 +209,29 @@ def set_timesteps(cfg: SolverConfig, tables: SolverTables, num_inference_steps: 
         raise NotImplementedError(cfg.timestep_spacing)
 
     sigmas_full = np.asarray(tables.sigmas_train, dtype=np.float64)
-    sigmas = np.interp(timesteps, np.arange(len(sigmas_full)), sigmas_full)
+    # the reference takes log in float32 (np.log of the fp32 sigma table);
+    # mirroring that keeps _sigma_to_t's rounding decisions identical
+    log_sigmas = np.log(np.asarray(tables.sigmas_train, dtype=np.float32))
+    if cfg.use_karras_sigmas:
+        # Karras et al. (2022) rho-7 ramp between the training range extremes
+        # (ref _convert_to_karras :490-510)
+        in_sigmas = np.flip(np.asarray(tables.sigmas_train, dtype=np.float32))
+        sigma_min, sigma_max = float(in_sigmas[-1]), float(in_sigmas[0])
+        rho = 7.0
+        ramp = np.linspace(0, 1, num_inference_steps)
+        sigmas = (sigma_max ** (1 / rho) + ramp * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))) ** rho
+        timesteps = _sigma_to_t(sigmas, log_sigmas).round()
+    elif cfg.use_lu_lambdas:
+        # Lu et al. (2022) uniform-log-sigma ramp (ref _convert_to_lu :512-524;
+        # rho=1 so the ramp is linear in log sigma)
+        in_lambdas = np.flip(log_sigmas)
+        lmin, lmax = float(in_lambdas[-1]), float(in_lambdas[0])
+        lambdas = lmax + np.linspace(0, 1, num_inference_steps) * (lmin - lmax)
+        sigmas = np.exp(lambdas)
+        timesteps = _sigma_to_t(sigmas, log_sigmas).round()
+    else:
+        sigmas = np.interp(timesteps, np.arange(len(sigmas_full)), sigmas_full)
+
     if cfg.final_sigmas_type == "sigma_min":
         sigma_last = float(((1 - tables.alphas_cumprod[0]) / tables.alphas_cumprod[0]) ** 0.5)
     else:
@@ -158,15 +265,123 @@ def _alpha_sigma(sigma):
 
 
 def convert_model_output(cfg: SolverConfig, sigma, model_output, sample):
-    """ref convert_model_output :528-594 (dpmsolver++ family -> x0 prediction)."""
+    """ref convert_model_output :528-625.
+
+    Data-prediction solvers (++) convert to an x0 prediction; noise-prediction
+    solvers (dpmsolver / sde-dpmsolver) convert to an epsilon prediction.
+    """
     alpha_t, sigma_t = _alpha_sigma(sigma)
-    if cfg.prediction_type == "epsilon":
-        return (sample - sigma_t * model_output) / alpha_t
-    if cfg.prediction_type == "sample":
-        return model_output
-    if cfg.prediction_type == "v_prediction":
-        return alpha_t * sample - sigma_t * model_output
+    if cfg.data_prediction:
+        if cfg.prediction_type == "epsilon":
+            return (sample - sigma_t * model_output) / alpha_t
+        if cfg.prediction_type == "sample":
+            return model_output
+        if cfg.prediction_type == "v_prediction":
+            return alpha_t * sample - sigma_t * model_output
+    else:
+        if cfg.prediction_type == "epsilon":
+            return model_output
+        if cfg.prediction_type == "sample":
+            return (sample - alpha_t * model_output) / sigma_t
+        if cfg.prediction_type == "v_prediction":
+            return alpha_t * model_output + sigma_t * sample
     raise ValueError(cfg.prediction_type)
+
+
+def _first_order(cfg, coef, m0, sample, noise):
+    """ref dpm_solver_first_order_update :627-694."""
+    alpha_t, sigma_t, alpha_s0, sigma_s0, h = (
+        coef["alpha_t"], coef["sigma_t"], coef["alpha_s0"], coef["sigma_s0"], coef["h"])
+    if cfg.algorithm_type == "dpmsolver++":
+        return (sigma_t / sigma_s0) * sample - (alpha_t * (jnp.exp(-h) - 1.0)) * m0
+    if cfg.algorithm_type == "dpmsolver":
+        return (alpha_t / alpha_s0) * sample - (sigma_t * (jnp.exp(h) - 1.0)) * m0
+    if cfg.algorithm_type == "sde-dpmsolver++":
+        return (
+            (sigma_t / sigma_s0 * jnp.exp(-h)) * sample
+            + (alpha_t * (1 - jnp.exp(-2.0 * h))) * m0
+            + sigma_t * jnp.sqrt(1.0 - jnp.exp(-2 * h)) * noise
+        )
+    # sde-dpmsolver
+    return (
+        (alpha_t / alpha_s0) * sample
+        - 2.0 * (sigma_t * (jnp.exp(h) - 1.0)) * m0
+        + sigma_t * jnp.sqrt(jnp.exp(2 * h) - 1.0) * noise
+    )
+
+
+def _second_order(cfg, coef, m0, m1, sample, noise):
+    """ref multistep_dpm_solver_second_order_update :696-817."""
+    alpha_t, sigma_t, alpha_s0, sigma_s0, h = (
+        coef["alpha_t"], coef["sigma_t"], coef["alpha_s0"], coef["sigma_s0"], coef["h"])
+    h_0 = coef["h_0"]
+    r0 = h_0 / h
+    d0, d1 = m0, (1.0 / r0) * (m0 - m1)
+    mid = cfg.solver_type == "midpoint"
+    if cfg.algorithm_type == "dpmsolver++":
+        if mid:
+            return ((sigma_t / sigma_s0) * sample
+                    - (alpha_t * (jnp.exp(-h) - 1.0)) * d0
+                    - 0.5 * (alpha_t * (jnp.exp(-h) - 1.0)) * d1)
+        return ((sigma_t / sigma_s0) * sample
+                - (alpha_t * (jnp.exp(-h) - 1.0)) * d0
+                + (alpha_t * ((jnp.exp(-h) - 1.0) / h + 1.0)) * d1)
+    if cfg.algorithm_type == "dpmsolver":
+        if mid:
+            return ((alpha_t / alpha_s0) * sample
+                    - (sigma_t * (jnp.exp(h) - 1.0)) * d0
+                    - 0.5 * (sigma_t * (jnp.exp(h) - 1.0)) * d1)
+        return ((alpha_t / alpha_s0) * sample
+                - (sigma_t * (jnp.exp(h) - 1.0)) * d0
+                - (sigma_t * ((jnp.exp(h) - 1.0) / h - 1.0)) * d1)
+    if cfg.algorithm_type == "sde-dpmsolver++":
+        sde_noise = sigma_t * jnp.sqrt(1.0 - jnp.exp(-2 * h)) * noise
+        if mid:
+            return ((sigma_t / sigma_s0 * jnp.exp(-h)) * sample
+                    + (alpha_t * (1 - jnp.exp(-2.0 * h))) * d0
+                    + 0.5 * (alpha_t * (1 - jnp.exp(-2.0 * h))) * d1
+                    + sde_noise)
+        return ((sigma_t / sigma_s0 * jnp.exp(-h)) * sample
+                + (alpha_t * (1 - jnp.exp(-2.0 * h))) * d0
+                + (alpha_t * ((1.0 - jnp.exp(-2.0 * h)) / (-2.0 * h) + 1.0)) * d1
+                + sde_noise)
+    # sde-dpmsolver
+    sde_noise = sigma_t * jnp.sqrt(jnp.exp(2 * h) - 1.0) * noise
+    if mid:
+        return ((alpha_t / alpha_s0) * sample
+                - 2.0 * (sigma_t * (jnp.exp(h) - 1.0)) * d0
+                - (sigma_t * (jnp.exp(h) - 1.0)) * d1
+                + sde_noise)
+    return ((alpha_t / alpha_s0) * sample
+            - 2.0 * (sigma_t * (jnp.exp(h) - 1.0)) * d0
+            - 2.0 * (sigma_t * ((jnp.exp(h) - 1.0) / h - 1.0)) * d1
+            + sde_noise)
+
+
+def _third_order(cfg, coef, m0, m1, m2, sample):
+    """ref multistep_dpm_solver_third_order_update :819-933."""
+    alpha_t, sigma_t, alpha_s0, sigma_s0, h = (
+        coef["alpha_t"], coef["sigma_t"], coef["alpha_s0"], coef["sigma_s0"], coef["h"])
+    h_0, h_1 = coef["h_0"], coef["h_1"]
+    r0, r1 = h_0 / h, h_1 / h
+    d0 = m0
+    d1_0, d1_1 = (1.0 / r0) * (m0 - m1), (1.0 / r1) * (m1 - m2)
+    d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+    d2 = (1.0 / (r0 + r1)) * (d1_0 - d1_1)
+    if cfg.algorithm_type == "dpmsolver++":
+        return (
+            (sigma_t / sigma_s0) * sample
+            - (alpha_t * (jnp.exp(-h) - 1.0)) * d0
+            + (alpha_t * ((jnp.exp(-h) - 1.0) / h + 1.0)) * d1
+            - (alpha_t * ((jnp.exp(-h) - 1.0 + h) / h ** 2 - 0.5)) * d2
+        )
+    # dpmsolver (sde third order is rejected at config time)
+    return (
+        (alpha_t / alpha_s0) * sample
+        - (sigma_t * (jnp.exp(h) - 1.0)) * d0
+        - (sigma_t * ((jnp.exp(h) - 1.0) / h - 1.0)) * d1
+        - (sigma_t * ((jnp.exp(h) - 1.0 - h) / h ** 2 - 0.5)) * d2
+    )
 
 
 def step(
@@ -180,23 +395,25 @@ def step(
 ) -> Tuple[jnp.ndarray, SolverState]:
     """One solver step at scan counter `i` (ref step :935-1022).
 
-    Both first- and second-order updates are evaluated and selected with
-    `jnp.where` — they are tiny elementwise ops on the 64-dim latent, far
-    cheaper than a `lax.cond` round-trip.
+    All orders are evaluated and selected with `jnp.where` — they are tiny
+    elementwise ops on the 64-dim latent, far cheaper than a `lax.cond`
+    round-trip.  The order-selection chain mirrors the reference
+    (:988-1013): first order while warming up or at the stabilized final
+    step, second order next (or at the second-to-last step of short
+    schedules), third order only once two history entries are live.
     """
-    assert cfg.solver_order in (1, 2), "orders 1-2 supported (reference default is 2)"
     n = sched.num_steps
-    x0 = convert_model_output(cfg, sched.sigmas[i], model_output, sample)
+    converted = convert_model_output(cfg, sched.sigmas[i], model_output, sample)
 
-    # shift history (kept in fp32)
-    x0f = x0.astype(jnp.float32)
-    if cfg.solver_order == 1:
-        history = state.history.at[0].set(x0f)
-    else:
-        history = jnp.stack([state.history[-1], x0f]) if cfg.solver_order == 2 else None
+    # shift history (kept in fp32): history[-1] = current, history[-2] = prev
+    x0f = converted.astype(jnp.float32)
+    history = jnp.concatenate([state.history[1:], x0f[None]], axis=0)
 
     sample32 = sample.astype(jnp.float32)
-    x0_32 = x0.astype(jnp.float32)
+    m0 = x0f
+    if cfg.is_sde:
+        assert noise is not None, f"{cfg.algorithm_type} needs per-step noise"
+        noise = noise.astype(jnp.float32)
 
     sigma_t_raw = sched.sigmas[i + 1]
     sigma_s0_raw = sched.sigmas[i]
@@ -204,68 +421,37 @@ def step(
     alpha_s0, sigma_s0 = _alpha_sigma(sigma_s0_raw)
     lam_t = jnp.log(alpha_t) - jnp.log(sigma_t)
     lam_s0 = jnp.log(alpha_s0) - jnp.log(sigma_s0)
-    h = lam_t - lam_s0
+    coef = {"alpha_t": alpha_t, "sigma_t": sigma_t,
+            "alpha_s0": alpha_s0, "sigma_s0": sigma_s0,
+            "h": lam_t - lam_s0}
 
-    if cfg.algorithm_type == "dpmsolver++":
-        first = (sigma_t / sigma_s0) * sample32 - (alpha_t * (jnp.exp(-h) - 1.0)) * x0_32
-    elif cfg.algorithm_type == "sde-dpmsolver++":
-        assert noise is not None, "sde-dpmsolver++ needs per-step noise"
-        first = (
-            (sigma_t / sigma_s0 * jnp.exp(-h)) * sample32
-            + (alpha_t * (1 - jnp.exp(-2.0 * h))) * x0_32
-            + sigma_t * jnp.sqrt(1.0 - jnp.exp(-2 * h)) * noise.astype(jnp.float32)
-        )
-    else:
-        raise NotImplementedError(cfg.algorithm_type)
+    prev = _first_order(cfg, coef, m0, sample32, noise)
 
-    if cfg.solver_order == 2:
-        sigma_s1_raw = sched.sigmas[jnp.maximum(i - 1, 0)]
-        alpha_s1, sigma_s1 = _alpha_sigma(sigma_s1_raw)
+    if cfg.solver_order >= 2:
+        alpha_s1, sigma_s1 = _alpha_sigma(sched.sigmas[jnp.maximum(i - 1, 0)])
         lam_s1 = jnp.log(alpha_s1) - jnp.log(sigma_s1)
-        h_0 = lam_s0 - lam_s1
-        r0 = h_0 / h
-        m0 = x0_32
-        m1 = history[0].astype(jnp.float32)
-        d0 = m0
-        d1 = (1.0 / r0) * (m0 - m1)
-        if cfg.algorithm_type == "dpmsolver++":
-            if cfg.solver_type == "midpoint":
-                second = (
-                    (sigma_t / sigma_s0) * sample32
-                    - (alpha_t * (jnp.exp(-h) - 1.0)) * d0
-                    - 0.5 * (alpha_t * (jnp.exp(-h) - 1.0)) * d1
-                )
-            else:  # heun
-                second = (
-                    (sigma_t / sigma_s0) * sample32
-                    - (alpha_t * (jnp.exp(-h) - 1.0)) * d0
-                    + (alpha_t * ((jnp.exp(-h) - 1.0) / h + 1.0)) * d1
-                )
-        else:  # sde-dpmsolver++
-            if cfg.solver_type == "midpoint":
-                second = (
-                    (sigma_t / sigma_s0 * jnp.exp(-h)) * sample32
-                    + (alpha_t * (1 - jnp.exp(-2.0 * h))) * d0
-                    + 0.5 * (alpha_t * (1 - jnp.exp(-2.0 * h))) * d1
-                    + sigma_t * jnp.sqrt(1.0 - jnp.exp(-2 * h)) * noise.astype(jnp.float32)
-                )
-            else:
-                second = (
-                    (sigma_t / sigma_s0 * jnp.exp(-h)) * sample32
-                    + (alpha_t * (1 - jnp.exp(-2.0 * h))) * d0
-                    + (alpha_t * ((1.0 - jnp.exp(-2.0 * h)) / (-2.0 * h) + 1.0)) * d1
-                    + sigma_t * jnp.sqrt(1.0 - jnp.exp(-2 * h)) * noise.astype(jnp.float32)
-                )
+        coef["h_0"] = lam_s0 - lam_s1
+        m1 = history[-2].astype(jnp.float32)
+        second = _second_order(cfg, coef, m0, m1, sample32, noise)
 
-        # order selection (ref :977-1008)
         lower_order_final = jnp.logical_and(
             i == n - 1,
             cfg.euler_at_final or (cfg.lower_order_final and n < 15) or cfg.final_sigmas_type == "zero",
         )
         use_first = jnp.logical_or(state.lower_order_nums < 1, lower_order_final)
-        prev = jnp.where(use_first, first, second)
-    else:
-        prev = first
+
+        if cfg.solver_order == 2:
+            prev = jnp.where(use_first, prev, second)
+        else:
+            alpha_s2, sigma_s2 = _alpha_sigma(sched.sigmas[jnp.maximum(i - 2, 0)])
+            lam_s2 = jnp.log(alpha_s2) - jnp.log(sigma_s2)
+            coef["h_1"] = lam_s1 - lam_s2
+            m2 = history[-3].astype(jnp.float32)
+            third = _third_order(cfg, coef, m0, m1, m2, sample32)
+            lower_order_second = jnp.logical_and(
+                i == n - 2, cfg.lower_order_final and n < 15)
+            use_second = jnp.logical_or(state.lower_order_nums < 2, lower_order_second)
+            prev = jnp.where(use_first, prev, jnp.where(use_second, second, third))
 
     new_lon = jnp.minimum(state.lower_order_nums + 1, cfg.solver_order)
     return prev.astype(model_output.dtype), SolverState(history=history, lower_order_nums=new_lon)
