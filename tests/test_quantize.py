@@ -107,6 +107,80 @@ def test_int8_embed_rows_and_tied_logits():
     assert corr > 0.999
 
 
+def test_quantized_lm_int4_close_to_fp():
+    params = q.init(jax.random.PRNGKey(0), CFG)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 12), 0, CFG.vocab_size)
+    embeds = params["embed"][ids]
+    mask = jnp.ones((1, 12), jnp.int32)
+    pos = q.positions_from_mask(mask)
+    bias = q.causal_bias(mask, 12)
+    h_fp, _ = q.forward(params, CFG, embeds, pos, bias)
+    for gs in (None, 32):
+        qlm = qz.quantize_lm(params, mode="int4", group_size=gs)
+        h_q, _ = q.forward(qlm, CFG, embeds, pos, bias)
+        corr = float(jnp.corrcoef(h_fp.reshape(-1), h_q.reshape(-1))[0, 1])
+        assert corr > 0.95, f"group_size={gs}: corr {corr}"
+
+
+def test_int4_group_scales_tighter_than_per_channel():
+    """Per-group scales must reduce LM output error vs per-channel (the
+    quality rationale for group_size)."""
+    params = q.init(jax.random.PRNGKey(0), CFG)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 12), 0, CFG.vocab_size)
+    embeds = params["embed"][ids]
+    mask = jnp.ones((1, 12), jnp.int32)
+    pos = q.positions_from_mask(mask)
+    bias = q.causal_bias(mask, 12)
+    h_fp, _ = q.forward(params, CFG, embeds, pos, bias)
+
+    def err(gs):
+        qlm = qz.quantize_lm(params, mode="int4", group_size=gs)
+        h_q, _ = q.forward(qlm, CFG, embeds, pos, bias)
+        return float(jnp.abs(h_q - h_fp).mean())
+
+    assert err(16) < err(None)
+
+
+def test_int4_engine_generates_and_prefill_path_consistent():
+    """End-to-end engine with int4 weights: the prefill (XLA dequant) and
+    decode (Pallas kernel) paths must agree on the same weights."""
+    from vibevoice_tpu.configs import tiny_config
+    from vibevoice_tpu.engine import generate as G
+    from vibevoice_tpu.models import vibevoice
+
+    cfg = tiny_config()
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    qparams = qz.quantize_model(params, cfg.decoder.tie_word_embeddings, mode="int4")
+
+    gen = G.GenerationConfig(speech_start_id=100, speech_end_id=101,
+                             speech_diffusion_id=102, eos_id=1,
+                             ddpm_steps=3, force_diffusion=True)
+    # prompt_len 64 > 32 forces the XLA-dequant prefill path; decode uses
+    # the Pallas kernel (m = 2B = 2)
+    eng = G.Engine(qparams, cfg, gen, max_steps=4, batch=1, prompt_len=64)
+    ids = np.zeros((1, 64), np.int32)
+    mask = np.ones((1, 64), np.int32)
+    sim = np.zeros((1, 64), bool)
+    state, _ = eng.prefill(ids, mask, sim)
+    for _ in range(3):
+        state, _ = eng.step(state)
+    audio = np.asarray(state.audio)
+    assert np.isfinite(audio).all()
+    assert int(np.asarray(state.frames)[0]) == 4
+
+    # cross-path consistency: the same hidden state through mm's GEMV
+    # (Pallas) and dequant (XLA) routes
+    from vibevoice_tpu.ops.int4_matmul import dequant_int4_xla, int4_matmul
+    wq = qparams["lm"]["layers"][0]["gate"]
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, cfg.decoder.hidden_size))
+    y_pallas = qz.mm(x, wq)
+    y_xla = x @ dequant_int4_xla(wq["qint4"], wq["scale4"], x.dtype)
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_xla),
+                               rtol=5e-3, atol=5e-4)
+
+
 def test_keep_audio_false_streams_same_chunks():
     from vibevoice_tpu.configs import tiny_config
     from vibevoice_tpu.engine import generate as G

@@ -28,14 +28,18 @@ class VibeVoiceTTS:
                  dtype=jnp.bfloat16, ddpm_steps: int = 10, cfg_scale: float = 1.3,
                  prompt_bucket: int = 256, quantize: Optional[str] = None,
                  do_sample: bool = False, refresh_negative: bool = True,
-                 algorithm_type: str = "dpmsolver++", kv_dtype: str = "model"):
+                 algorithm_type: str = "dpmsolver++", kv_dtype: str = "model",
+                 int4_group_size: Optional[int] = None):
         self.do_sample = do_sample
         self.refresh_negative = refresh_negative
         self.algorithm_type = algorithm_type
         self.kv_dtype = kv_dtype
-        if quantize == "int8":
+        if quantize is not None:
+            if quantize not in ("int8", "int4"):
+                raise ValueError(f"quantize must be 'int8' or 'int4', got {quantize}")
             from .utils.quantize import quantize_model
-            params = quantize_model(params, cfg.decoder.tie_word_embeddings)
+            params = quantize_model(params, cfg.decoder.tie_word_embeddings,
+                                    mode=quantize, group_size=int4_group_size)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

@@ -1,13 +1,19 @@
-"""Weight-only int8 quantization for the decode-bandwidth-bound LM.
+"""Weight-only quantization for the decode-bandwidth-bound LM.
 
-The decode step streams every LM weight per frame; int8 halves those bytes.
-Symmetric per-output-channel scales; matmuls dequantize in-register (XLA
-fuses the convert into the dot operand load).  Opt-in (`quantize="int8"` on
-the pipeline/engine): weight-only, activations stay bf16, norms stay fp32.
+The decode step streams every LM weight per frame; int8 halves those bytes,
+int4 halves them again.  Opt-in (`quantize="int8"` / `quantize="int4"` on the
+pipeline/engine): weight-only, activations stay bf16, norms stay fp32.
+
+  * int8: symmetric per-output-channel scales; matmuls dequantize in-register
+    (XLA fuses the convert into the dot operand load).
+  * int4: nibble-packed, unpacked INSIDE a fused Pallas matmul
+    (`ops/int4_matmul.py`) — the XLA-level unpack routes are measured dead
+    ends (see that module's docstring).  Per-output-channel scales by
+    default; optional per-group scales (`group_size`) for finer resolution.
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,21 +28,50 @@ def quantize_weight(w: jnp.ndarray, axis: int = 0) -> Dict[str, jnp.ndarray]:
     return {"qint8": q, "scale": scale.squeeze(axis).astype(jnp.bfloat16)}
 
 
+def quantize_weight_int4(w, group_size: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+    """Symmetric int4 (on-device jnp ops; load-time)."""
+    from ..ops.int4_matmul import quantize_int4
+    return quantize_int4(w, group_size=group_size)
+
+
 def mm(x: jnp.ndarray, w) -> jnp.ndarray:
-    """Matmul that accepts plain or quantized weights."""
-    if isinstance(w, dict) and "qint8" in w:
+    """Matmul that accepts plain, int8-quantized or int4-quantized weights."""
+    if isinstance(w, dict):
+        if "qint4" in w:
+            from ..ops.int4_matmul import int4_matmul, dequant_int4_xla
+            k = x.shape[-1]
+            lead = x.shape[:-1]
+            m = 1
+            for d in lead:
+                m *= int(d)
+            if m <= 32:
+                # decode GEMV: fused Pallas dequant-matmul (bandwidth path)
+                y = int4_matmul(x.reshape(m, k), w["qint4"], w["scale4"])
+                return y.reshape(*lead, y.shape[-1])
+            # prefill: weight read amortizes over many tokens — a
+            # materialized XLA dequant is fine
+            return x @ dequant_int4_xla(w["qint4"], w["scale4"], x.dtype)
         y = x @ w["qint8"].astype(x.dtype)
         return y * w["scale"].astype(x.dtype)
     return x @ w
 
 
-def quantize_lm(lm_params: Dict[str, Any], quantize_embed: bool = False) -> Dict[str, Any]:
+def _quant(w, mode: str, group_size: Optional[int]):
+    if mode == "int4":
+        return quantize_weight_int4(w, group_size=group_size)
+    return quantize_weight(w)
+
+
+def quantize_lm(lm_params: Dict[str, Any], quantize_embed: bool = False,
+                mode: str = "int8", group_size: Optional[int] = None) -> Dict[str, Any]:
     """Quantize the Qwen2 projection weights (q/k/v/o, gate/up/down).
 
     The embedding stays bf16 by default (row-gather reads only touched
     rows, so it is not a bandwidth problem — quantizing it is a MEMORY
     lever, e.g. fitting 7B on one 16 GB chip); the logits path gets its own
-    int8 copy in `quantize_model`.
+    quantized copy in `quantize_model`.  The embedding, when quantized, is
+    always int8 per-row (gathers dequantize per row — int4 gather would not
+    use the matmul kernel).
     """
     out = dict(lm_params)
     layers = []
@@ -44,10 +79,10 @@ def quantize_lm(lm_params: Dict[str, Any], quantize_embed: bool = False) -> Dict
         nl = dict(lp)
         for name in ("q", "k", "v", "o"):
             proj = dict(lp[name])
-            proj["w"] = quantize_weight(lp[name]["w"])
+            proj["w"] = _quant(lp[name]["w"], mode, group_size)
             nl[name] = proj
         for name in ("gate", "up", "down"):
-            nl[name] = quantize_weight(lp[name])
+            nl[name] = _quant(lp[name], mode, group_size)
         layers.append(nl)
     out["layers"] = layers
     if quantize_embed:
@@ -55,48 +90,61 @@ def quantize_lm(lm_params: Dict[str, Any], quantize_embed: bool = False) -> Dict
     return out
 
 
-def quantize_diffusion_head(head_params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_diffusion_head(head_params: Dict[str, Any], mode: str = "int8",
+                            group_size: Optional[int] = None) -> Dict[str, Any]:
     """Quantize the diffusion head's per-solver-step FFN weights.
 
     The sequential solver scan re-reads gate/up/down every one of the
     `ddpm_steps` iterations per frame (~170 MB bf16 per step at 1.5B) — the
     second-largest bandwidth consumer after the LM step.  The adaLN
-    modulation weights (`ada_w`, `final_ada_w`) are read once per frame by
-    `precompute_modulations` and stay bf16, as do the tiny latent-side
-    projections (fp accuracy where the output is produced).
+    modulation weights (`ada_w`, `final_ada_w`) are also quantized: they are
+    read once per frame by `precompute_modulations` but are LM-hidden-sized,
+    so their bytes matter at B=1.  Only the tiny latent-side projections
+    (noisy_images_proj / cond_proj / final linear) stay bf16 — fp accuracy
+    where the output latent is produced.
     """
     out = dict(head_params)
     layers = []
     for lp in head_params["layers"]:
         nl = dict(lp)
         for name in ("ada_w", "gate", "up", "down"):
-            nl[name] = quantize_weight(lp[name])
+            nl[name] = _quant(lp[name], mode, group_size)
         layers.append(nl)
     out["layers"] = layers
-    out["final_ada_w"] = quantize_weight(head_params["final_ada_w"])
+    out["final_ada_w"] = _quant(head_params["final_ada_w"], mode, group_size)
     return out
 
 
 def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True,
-                   quantize_embed: bool = False) -> Dict[str, Any]:
+                   quantize_embed: bool = False, mode: str = "int8",
+                   group_size: Optional[int] = None,
+                   diffusion_mode: Optional[str] = None) -> Dict[str, Any]:
     """Quantize the LM (and untied lm_head) + diffusion head; the conv
     tokenizers stay bf16 (their weights are small — dispatch-bound, not
     weight-bandwidth-bound).
 
-    For tied embeddings an int8 copy of embed^T is added for the logits
-    matmul (`lm_head`), trading ~0.5x embed memory for 2x logits bandwidth.
+    For tied embeddings a quantized copy of embed^T is added for the logits
+    matmul (`lm_head`), trading ~0.5x embed memory for 2-4x logits bandwidth.
     `quantize_embed` additionally stores the embedding table itself in int8
     with per-row scales (a memory lever; lookups dequantize gathered rows).
+    `diffusion_mode` overrides the diffusion head's mode (default: same as
+    `mode`; the head's output is the audio latent, so int8 there is the
+    conservative pairing with int4 LM weights).
     """
+    if mode not in ("int8", "int4"):
+        raise ValueError(f"quantize mode must be 'int8' or 'int4', got {mode}")
+    dmode = diffusion_mode or mode
     out = dict(params)
-    out["lm"] = quantize_lm(params["lm"], quantize_embed=quantize_embed)
-    out["diffusion_head"] = quantize_diffusion_head(params["diffusion_head"])
+    out["lm"] = quantize_lm(params["lm"], quantize_embed=quantize_embed,
+                            mode=mode, group_size=group_size)
+    out["diffusion_head"] = quantize_diffusion_head(params["diffusion_head"],
+                                                    mode=dmode, group_size=group_size)
     if params.get("lm_head") is not None:
-        out["lm_head"] = quantize_weight(params["lm_head"])
+        out["lm_head"] = _quant(params["lm_head"], mode, group_size)
     elif tie_word_embeddings:
-        out["lm_head"] = quantize_weight(params["lm"]["embed"].T)
+        out["lm_head"] = _quant(params["lm"]["embed"].T, mode, group_size)
     return out
 
 
-__all__ = ["quantize_weight", "quantize_model", "quantize_lm",
-           "quantize_diffusion_head", "mm"]
+__all__ = ["quantize_weight", "quantize_weight_int4", "quantize_model",
+           "quantize_lm", "quantize_diffusion_head", "mm"]
