@@ -1,0 +1,224 @@
+"""Quality-evaluation harness (weights-gated; VERDICT round-1 item 3).
+
+Given an HF VibeVoice checkpoint, imports the weights, generates the
+reference demo scripts, and reports mel/log-spectral distances between a
+baseline engine configuration and candidate configurations (int8 / int4 /
+kv_dtype=int8 / 5-step SDE).  Optionally A/Bs against the torch reference's
+own `generate` when torch + the reference repo are available.
+
+Without `--model_path`, runs the full plumbing on a tiny random model so the
+harness itself stays continuously verified (the environment ships no real
+checkpoint); with one, it is the one-flag-away real measurement:
+
+  python scripts/quality_eval.py --model_path /path/to/VibeVoice-1.5B \
+      --voices_dir /root/reference/demo/voices \
+      --scripts /root/reference/demo/text_examples/2p_short.txt \
+      --candidates int8 int4 sde5
+
+Ref anchors: demo/inference_from_file.py:336-396 (metrics block),
+BASELINE.json waveform/mel allclose north star.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def _load_voice(path, sr=24000):
+    from vibevoice_tpu.processor.audio import load_audio
+    return load_audio(path, sampling_rate=sr)
+
+
+def _build_tts(args, quantize=None, kv_dtype="model", algorithm_type="dpmsolver++",
+               ddpm_steps=None):
+    import jax.numpy as jnp
+    from vibevoice_tpu.pipeline import VibeVoiceTTS
+
+    kw = dict(dtype=jnp.bfloat16 if args.model_path else jnp.float32,
+              ddpm_steps=ddpm_steps or args.ddpm_steps,
+              cfg_scale=args.cfg_scale,
+              quantize=quantize, kv_dtype=kv_dtype, algorithm_type=algorithm_type)
+    if args.model_path:
+        return VibeVoiceTTS.from_pretrained(args.model_path, **kw)
+    from vibevoice_tpu.configs import tiny_config
+    import jax
+    from vibevoice_tpu.models import vibevoice as V
+    cfg = tiny_config(vocab_size=320)
+    params = V.init_model(jax.random.PRNGKey(0), cfg, dtype=kw["dtype"])
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    # the head's adaLN/final layers are zero-init (reference behavior); with
+    # them zero the sampled latent is weight-independent and every quantized
+    # config would compare bit-identical — randomize so the A/B is real
+    k = jax.random.PRNGKey(9)
+    for i, lp in enumerate(params["diffusion_head"]["layers"]):
+        lp["ada_w"] = jax.random.normal(jax.random.fold_in(k, i),
+                                        lp["ada_w"].shape, kw["dtype"]) * 0.05
+    for name in ("final_ada_w", "final_linear"):
+        params["diffusion_head"][name] = jax.random.normal(
+            jax.random.fold_in(k, hash(name) % 1000),
+            params["diffusion_head"][name].shape, kw["dtype"]) * 0.05
+    from vibevoice_tpu.processor.text_tokenizer import ByteFallbackTokenizer
+    return VibeVoiceTTS(params, cfg, ByteFallbackTokenizer(), **kw)
+
+
+CANDIDATES = {
+    "int8": dict(quantize="int8"),
+    "int4": dict(quantize="int4"),
+    "int4-g128": dict(quantize="int4"),  # group_size set below
+    "int8kv": dict(quantize="int8", kv_dtype="int8"),
+    "sde5": dict(algorithm_type="sde-dpmsolver++", ddpm_steps=5),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", default=None,
+                    help="HF checkpoint dir; omitted = tiny random plumbing check")
+    ap.add_argument("--scripts", nargs="*", default=None, help="script .txt paths")
+    ap.add_argument("--voices_dir", default="/root/reference/demo/voices")
+    ap.add_argument("--candidates", nargs="*", default=["int8", "int4"],
+                    choices=sorted(CANDIDATES), help="configs to compare vs baseline")
+    ap.add_argument("--ddpm_steps", type=int, default=10)
+    ap.add_argument("--cfg_scale", type=float, default=1.3)
+    ap.add_argument("--max_new_tokens", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--output_dir", default="/tmp/quality_eval")
+    ap.add_argument("--compare_reference", action="store_true",
+                    help="also run the torch reference's generate (needs torch + weights)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu", None],
+                    help="default: cpu for the random-weight plumbing check, "
+                         "device default when --model_path is given")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu" or (args.platform is None and not args.model_path):
+        # env JAX_PLATFORMS alone does not override the axon relay plugin in
+        # this environment — the config update is required (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+
+    from vibevoice_tpu.utils import audio_metrics as AM
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    # ---- inputs -----------------------------------------------------------
+    if args.scripts:
+        scripts = [open(p).read() for p in args.scripts]
+        names = [os.path.splitext(os.path.basename(p))[0] for p in args.scripts]
+    else:
+        scripts = ["Speaker 1: The quick brown fox jumps over the lazy dog.\n"
+                   "Speaker 2: And then it ran away into the forest."]
+        names = ["builtin_smoke"]
+
+    voices = []
+    if args.model_path and os.path.isdir(args.voices_dir):
+        wavs = sorted(f for f in os.listdir(args.voices_dir) if f.endswith(".wav"))
+        voices = [_load_voice(os.path.join(args.voices_dir, w)) for w in wavs[:4]]
+    if not voices:  # random-weight mode: tiny synthetic voice prompts (the
+        # tiny config's hop is small, so long voices would explode the prompt)
+        rng = np.random.default_rng(0)
+        voices = [rng.normal(0, 0.05, 64).astype(np.float32)]
+
+    max_new = args.max_new_tokens or (None if args.model_path else 8)
+
+    def gen(tts, script):
+        if not args.model_path:
+            # random weights never argmax the diffusion token; force it so the
+            # full latent->vocoder path runs (tests/test_pipeline_smoke.py)
+            from vibevoice_tpu.engine import generate as G
+            gcfg = G.GenerationConfig(
+                speech_start_id=tts.tokenizer.speech_start_id,
+                speech_end_id=tts.tokenizer.speech_end_id,
+                speech_diffusion_id=tts.tokenizer.speech_diffusion_id,
+                eos_id=tts.tokenizer.eos_id, ddpm_steps=tts.ddpm_steps,
+                cfg_scale=tts.cfg_scale, algorithm_type=tts.algorithm_type,
+                force_diffusion=True)
+            eng = G.Engine(tts.params, tts.cfg, gcfg, max_steps=max_new, batch=1,
+                           prompt_len=512, dtype=tts.dtype, kv_dtype=tts.kv_dtype)
+            tts._engine = lambda b, p, m: eng
+        res, metrics = tts.generate(script, voices[:1], max_new_tokens=max_new,
+                                    seed=args.seed)
+        return res.audio[0], metrics
+
+    # ---- baseline ---------------------------------------------------------
+    base = _build_tts(args)
+    results = {}
+    base_audio = {}
+    for name, script in zip(names, scripts):
+        audio, metrics = gen(base, script)
+        assert audio is not None, f"baseline produced no audio for {name}"
+        base_audio[name] = audio
+        results[f"baseline/{name}"] = {"rtf": round(metrics["rtf"], 2),
+                                       "audio_sec": round(metrics["audio_sec"], 2)}
+        _save(base, audio, os.path.join(args.output_dir, f"baseline_{name}.wav"))
+
+    # ---- candidates -------------------------------------------------------
+    for cand in args.candidates:
+        kw = dict(CANDIDATES[cand])
+        ddpm = kw.pop("ddpm_steps", None)
+        tts = _build_tts(args, ddpm_steps=ddpm, **kw)
+        if cand == "int4-g128":
+            # rebuild with group scales
+            from vibevoice_tpu.pipeline import VibeVoiceTTS
+            tts = _build_tts(args)  # placeholder to get params/cfg/tokenizer
+            gs = 128 if args.model_path else 32  # tiny-config hidden dims are small
+            tts = VibeVoiceTTS(tts.params, tts.cfg, tts.tokenizer, dtype=tts.dtype,
+                               ddpm_steps=args.ddpm_steps, cfg_scale=args.cfg_scale,
+                               quantize="int4", int4_group_size=gs)
+        for name, script in zip(names, scripts):
+            audio, metrics = gen(tts, script)
+            assert audio is not None, f"{cand} produced no audio for {name}"
+            m = AM.compare(base_audio[name], audio)
+            m["rtf"] = round(metrics["rtf"], 2)
+            results[f"{cand}/{name}"] = {k: (round(v, 4) if np.isfinite(v) else "inf")
+                                         for k, v in m.items()}
+            _save(tts, audio, os.path.join(args.output_dir, f"{cand}_{name}.wav"))
+
+    # ---- optional torch-reference A/B --------------------------------------
+    if args.compare_reference:
+        try:
+            ref_audio = _reference_generate(args, scripts[0], voices[:1])
+            m = AM.compare(ref_audio, base_audio[names[0]])
+            results[f"reference-vs-baseline/{names[0]}"] = {
+                k: round(v, 4) for k, v in m.items() if np.isfinite(v)}
+        except Exception as e:  # reference path is environment-gated
+            results["reference-vs-baseline/error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(results, indent=2))
+    with open(os.path.join(args.output_dir, "quality_eval.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def _save(tts, audio, path):
+    try:
+        tts.save_audio(audio, path)
+    except Exception:
+        pass  # audio IO backends are optional; metrics above already computed
+
+
+def _reference_generate(args, script, voices):
+    """Run the torch reference end-to-end on CPU (weights required)."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from vibevoice.modular.modeling_vibevoice_inference import (
+        VibeVoiceForConditionalGenerationInference)
+    from vibevoice.processor.vibevoice_processor import VibeVoiceProcessor
+
+    processor = VibeVoiceProcessor.from_pretrained(args.model_path)
+    model = VibeVoiceForConditionalGenerationInference.from_pretrained(
+        args.model_path, torch_dtype=torch.float32, attn_implementation="sdpa")
+    model.eval()
+    model.set_ddpm_inference_steps(args.ddpm_steps)
+    inputs = processor(text=[script], voice_samples=[list(voices)],
+                       return_tensors="pt", return_attention_mask=True)
+    out = model.generate(**inputs, cfg_scale=args.cfg_scale, tokenizer=processor.tokenizer,
+                         generation_config={"do_sample": False})
+    return out.speech_outputs[0].float().numpy().reshape(-1)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,10 @@ class VibeVoiceTTS:
 
         # re-pad prompt to the engine's bucketed length (left padding)
         bucket = eng.prompt_len
+        if bucket < t0:
+            raise ValueError(
+                f"engine prompt bucket {bucket} is smaller than the encoded "
+                f"prompt ({t0} tokens)")
         ids = np.full((b, bucket), self.tokenizer.pad_id, np.int32)
         att = np.zeros((b, bucket), np.int32)
         sim = np.zeros((b, bucket), bool)
