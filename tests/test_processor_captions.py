@@ -130,3 +130,46 @@ def test_demo_example_scripts_parse():
         parsed = proc._parse_script(script)
         assert len(parsed) > 0
         assert all(isinstance(s, int) and t.strip() for s, t in parsed)
+
+
+def test_processor_save_load_roundtrip(tmp_path):
+    """save_pretrained/from_pretrained with the reference's
+    preprocessor_config.json schema (ref vibevoice_processor.py:44-161)."""
+    tk = ByteFallbackTokenizer()
+    proc = VibeVoiceProcessor(tk, speech_tok_compress_ratio=1600,
+                              db_normalize=True, target_dB_FS=-20)
+    path = proc.save_pretrained(str(tmp_path))
+    import json
+    cfg = json.load(open(path))
+    assert cfg["processor_class"] == "VibeVoiceProcessor"
+    assert cfg["speech_tok_compress_ratio"] == 1600
+    assert cfg["audio_processor"]["target_dB_FS"] == -20
+
+    loaded = VibeVoiceProcessor.from_pretrained(str(tmp_path), tokenizer=tk)
+    assert loaded.speech_tok_compress_ratio == 1600
+    assert loaded.target_dB_FS == -20
+    assert loaded.db_normalize is True
+
+
+def test_processor_loads_reference_written_config(tmp_path, reference_path):
+    """A config dir written by the REFERENCE's save_pretrained loads
+    unchanged (cross-implementation compatibility)."""
+    from vibevoice.processor.vibevoice_processor import (
+        VibeVoiceProcessor as RefProcessor)
+    ref = RefProcessor(tokenizer=None, audio_processor=None,
+                       speech_tok_compress_ratio=3200, db_normalize=True)
+    ref.save_pretrained(str(tmp_path))
+
+    tk = ByteFallbackTokenizer()
+    ours = VibeVoiceProcessor.from_pretrained(str(tmp_path), tokenizer=tk)
+    assert ours.speech_tok_compress_ratio == 3200
+    assert ours.db_normalize is True
+    assert ours.sampling_rate == 24000
+
+
+def test_processor_missing_config_uses_defaults(tmp_path):
+    tk = ByteFallbackTokenizer()
+    proc = VibeVoiceProcessor.from_pretrained(str(tmp_path / "nonexistent"),
+                                              tokenizer=tk)
+    assert proc.speech_tok_compress_ratio == 3200
+    assert proc.db_normalize is True

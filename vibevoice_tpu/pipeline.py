@@ -29,7 +29,8 @@ class VibeVoiceTTS:
                  prompt_bucket: int = 256, quantize: Optional[str] = None,
                  do_sample: bool = False, refresh_negative: bool = True,
                  algorithm_type: str = "dpmsolver++", kv_dtype: str = "model",
-                 int4_group_size: Optional[int] = None):
+                 int4_group_size: Optional[int] = None,
+                 processor: Optional[VibeVoiceProcessor] = None):
         self.do_sample = do_sample
         self.refresh_negative = refresh_negative
         self.algorithm_type = algorithm_type
@@ -47,8 +48,8 @@ class VibeVoiceTTS:
         self.ddpm_steps = ddpm_steps
         self.cfg_scale = cfg_scale
         self.prompt_bucket = prompt_bucket
-        self.processor = VibeVoiceProcessor(tokenizer,
-                                            speech_tok_compress_ratio=cfg.speech_compress_ratio)
+        self.processor = processor or VibeVoiceProcessor(
+            tokenizer, speech_tok_compress_ratio=cfg.speech_compress_ratio)
         self._engines: Dict[tuple, G.Engine] = {}
 
     # ------------------------------------------------------------------
@@ -57,12 +58,16 @@ class VibeVoiceTTS:
                         dtype=jnp.bfloat16, **kw) -> "VibeVoiceTTS":
         from .utils.checkpoint import load_hf_checkpoint
         params, cfg = load_hf_checkpoint(model_path, dtype=dtype)
+        import os
         tok_path = tokenizer_path or model_path
         try:
             tokenizer = QwenTextTokenizer(tok_path)
         except Exception:
             tokenizer = ByteFallbackTokenizer()
-        return cls(params, cfg, tokenizer, dtype=dtype, **kw)
+        processor = None
+        if os.path.exists(os.path.join(model_path, "preprocessor_config.json")):
+            processor = VibeVoiceProcessor.from_pretrained(model_path, tokenizer=tokenizer)
+        return cls(params, cfg, tokenizer, dtype=dtype, processor=processor, **kw)
 
     @classmethod
     def from_random(cls, cfg: Optional[VibeVoiceConfig] = None, seed: int = 0,

@@ -39,13 +39,78 @@ class VibeVoiceProcessor:
     def __init__(self, tokenizer: TextTokenizerBase,
                  speech_tok_compress_ratio: int = 3200,
                  db_normalize: bool = True,
-                 sampling_rate: int = 24000):
+                 sampling_rate: int = 24000,
+                 target_dB_FS: float = -25,
+                 eps: float = 1e-6,
+                 language_model_pretrained_name: Optional[str] = None):
         self.tokenizer = tokenizer
         self.speech_tok_compress_ratio = speech_tok_compress_ratio
         self.db_normalize = db_normalize
         self.sampling_rate = sampling_rate
-        self.audio_normalizer = AudioNormalizer() if db_normalize else None
+        self.target_dB_FS = target_dB_FS
+        self.eps = eps
+        self.language_model_pretrained_name = language_model_pretrained_name
+        self.audio_normalizer = AudioNormalizer(target_dB_FS=target_dB_FS,
+                                                eps=eps) if db_normalize else None
         self.system_prompt = SYSTEM_PROMPT
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path: str, tokenizer: Optional[TextTokenizerBase] = None,
+                        **kw) -> "VibeVoiceProcessor":
+        """Load from a directory holding the reference's
+        `preprocessor_config.json` (schema: ref vibevoice_processor.py:44-127);
+        missing file falls back to defaults like the reference does."""
+        import json
+        cfg: Dict[str, Any] = {}
+        cfg_path = os.path.join(path, "preprocessor_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+        audio_cfg = cfg.get("audio_processor", {})
+        lm_name = cfg.get("language_model_pretrained_name") or kw.pop(
+            "language_model_pretrained_name", None)
+        if tokenizer is None:
+            from .text_tokenizer import ByteFallbackTokenizer, QwenTextTokenizer
+            try:
+                tokenizer = QwenTextTokenizer(lm_name or path)
+            except Exception:
+                tokenizer = ByteFallbackTokenizer()
+        return cls(
+            tokenizer,
+            speech_tok_compress_ratio=cfg.get("speech_tok_compress_ratio", 3200),
+            db_normalize=cfg.get("db_normalize", True),
+            sampling_rate=audio_cfg.get("sampling_rate", 24000),
+            target_dB_FS=audio_cfg.get("target_dB_FS", -25),
+            eps=audio_cfg.get("eps", 1e-6),
+            language_model_pretrained_name=lm_name,
+            **kw,
+        )
+
+    def save_pretrained(self, save_directory: str) -> str:
+        """Write `preprocessor_config.json` in the reference's schema
+        (ref vibevoice_processor.py:129-161) so either implementation can
+        reload it."""
+        import json
+        os.makedirs(save_directory, exist_ok=True)
+        cfg = {
+            "processor_class": "VibeVoiceProcessor",
+            "speech_tok_compress_ratio": self.speech_tok_compress_ratio,
+            "db_normalize": self.db_normalize,
+            "audio_processor": {
+                "feature_extractor_type": "VibeVoiceTokenizerProcessor",
+                "sampling_rate": self.sampling_rate,
+                "normalize_audio": self.db_normalize,
+                "target_dB_FS": self.target_dB_FS,
+                "eps": self.eps,
+            },
+        }
+        if self.language_model_pretrained_name:
+            cfg["language_model_pretrained_name"] = self.language_model_pretrained_name
+        out = os.path.join(save_directory, "preprocessor_config.json")
+        with open(out, "w") as f:
+            json.dump(cfg, f, indent=2)
+        return out
 
     # ------------------------------------------------------------------
     def __call__(self, text, voice_samples=None, pad_to_multiple: Optional[int] = None,
