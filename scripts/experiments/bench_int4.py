@@ -60,13 +60,13 @@ if which in ("all", "int8"):
     run(qp, "int8")
 if which in ("all", "int4"):
     qp = quantize_model(params, True, mode="int4")
-    _ = float(qp["lm"]["layers"][0]["q"]["w"]["scale4"][0, 0])
+    _ = float(qp["lm"]["layers"][0]["qkv"]["w"]["scale4"][0, 0])
     run(qp, "int4")
 if which in ("all", "int4-g128"):
     qp = quantize_model(params, True, mode="int4", group_size=128)
-    _ = float(qp["lm"]["layers"][0]["q"]["w"]["scale4"][0, 0])
+    _ = float(qp["lm"]["layers"][0]["qkv"]["w"]["scale4"][0, 0])
     run(qp, "int4-g128")
 if which in ("all", "int4-lm-only"):
     qp = quantize_model(params, True, mode="int4", diffusion_mode="int8")
-    _ = float(qp["lm"]["layers"][0]["q"]["w"]["scale4"][0, 0])
+    _ = float(qp["lm"]["layers"][0]["qkv"]["w"]["scale4"][0, 0])
     run(qp, "int4-lm-only")

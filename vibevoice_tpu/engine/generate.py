@@ -123,6 +123,20 @@ def _onehot(idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return (jnp.arange(n)[None, :] == idx[:, None]).astype(jnp.int32)
 
 
+def _mesh_from_params(params) -> Optional[Any]:
+    """The mesh of a GSPMD-sharded param tree, when its `model` axis is >1
+    (tensor parallelism active); None otherwise."""
+    try:
+        from jax.sharding import NamedSharding
+        for leaf in jax.tree_util.tree_leaves(params):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, NamedSharding) and "model" in sh.mesh.shape:
+                return sh.mesh if sh.mesh.shape["model"] > 1 else None
+    except Exception:
+        pass
+    return None
+
+
 class Engine:
     """Holds params + compiled prefill/step functions for one model/config."""
 
@@ -130,9 +144,11 @@ class Engine:
                  max_steps: int, batch: int, prompt_len: int,
                  dtype=jnp.float32, inject_latent_noise: bool = False,
                  use_flash_prefill: Optional[bool] = None,
+                 use_flash_decode: Optional[bool] = None,
                  use_fused_vocoder: bool = False,
                  keep_audio: bool = True,
-                 kv_dtype: str = "model"):
+                 kv_dtype: str = "model",
+                 mesh=None):
         self.inject_latent_noise = inject_latent_noise
         self.use_fused_vocoder = use_fused_vocoder
         # kv_dtype="int8": per-slot symmetric int8 KV cache (half the cache
@@ -154,9 +170,19 @@ class Engine:
             # auto: long prompts with TPU-tileable head dim take the Pallas path
             use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0
         self.use_flash_prefill = use_flash_prefill
-        # long caches: Pallas decode attention skips beyond-length blocks
-        self.use_flash_decode = ((prompt_len + max_steps) >= 4096
-                                 and cfg.decoder.head_dim % 128 == 0)
+        if use_flash_decode is None:
+            # long caches: Pallas decode attention skips beyond-length blocks
+            use_flash_decode = ((prompt_len + max_steps) >= 4096
+                                and cfg.decoder.head_dim % 128 == 0)
+        self.use_flash_decode = use_flash_decode
+        # tensor parallelism: when the params are GSPMD-sharded over a mesh
+        # with a >1 `model` axis, the Pallas kernels must run under shard_map
+        # (heads/cache stay sharded — a bare pallas_call would make XLA
+        # all-gather the full cache on every step).  Auto-detect from the
+        # param shardings unless a mesh is passed explicitly.
+        if mesh is None:
+            mesh = _mesh_from_params(params)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.gen = gen

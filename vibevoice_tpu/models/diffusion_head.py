@@ -63,6 +63,15 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp
     return emb.astype(t.dtype) if jnp.issubdtype(t.dtype, jnp.floating) else emb
 
 
+def _swiglu(h: jnp.ndarray, lp: Params) -> jnp.ndarray:
+    """SwiGLU activation; int4 layout fuses gate|up into one kernel call."""
+    if "gateup" in lp:
+        gu = mm(h, lp["gateup"])
+        ffn = gu.shape[-1] // 2
+        return jax.nn.silu(gu[..., :ffn]) * gu[..., ffn:]
+    return jax.nn.silu(mm(h, lp["gate"])) * mm(h, lp["up"])
+
+
 def precompute_modulations(params: Params, cfg: DiffusionHeadConfig,
                            condition: jnp.ndarray, timesteps: jnp.ndarray):
     """Hoist all conditioning math out of the sequential solver scan.
@@ -91,7 +100,7 @@ def apply_with_modulations(params: Params, cfg: DiffusionHeadConfig,
     for lp, mod in zip(params["layers"], layer_mods):
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         h = rms_norm(x, lp["norm_w"], eps) * (1 + scale) + shift
-        h = mm(jax.nn.silu(mm(h, lp["gate"])) * mm(h, lp["up"]), lp["down"])
+        h = mm(_swiglu(h, lp), lp["down"])
         x = x + gate * h
     shift, scale = jnp.split(final_mod, 2, axis=-1)
     x = rms_norm(x, None, eps) * (1 + scale) + shift
@@ -112,7 +121,7 @@ def apply(params: Params, cfg: DiffusionHeadConfig,
         mod = mm(jax.nn.silu(c), lp["ada_w"])
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         h = rms_norm(x, lp["norm_w"], eps) * (1 + scale) + shift
-        h = mm(jax.nn.silu(mm(h, lp["gate"])) * mm(h, lp["up"]), lp["down"])
+        h = mm(_swiglu(h, lp), lp["down"])
         x = x + gate * h
 
     mod = mm(jax.nn.silu(c), params["final_ada_w"])

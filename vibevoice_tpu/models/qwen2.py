@@ -159,7 +159,8 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
            bias: jnp.ndarray,
            pad_mask: Optional[jnp.ndarray] = None,
            use_flash: bool = False,
-           decode_ctx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+           decode_ctx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+           mesh=None) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """One decoder layer. If `cache_full=(cache, layer_idx, write_pos, row_off)`
     is given, new k/v are written at write_pos (directly into the full
     [L, B, S, KVH*D] buffers — one in-place dynamic_update_slice each, so
@@ -169,15 +170,24 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     hn = rms_norm(x, lp["input_norm_w"], cfg.rms_norm_eps)
-    q = mm(hn, lp["q"]["w"])
-    if lp["q"]["b"] is not None:
-        q = q + lp["q"]["b"]
-    k = mm(hn, lp["k"]["w"])
-    if lp["k"]["b"] is not None:
-        k = k + lp["k"]["b"]
-    v = mm(hn, lp["v"]["w"])
-    if lp["v"]["b"] is not None:
-        v = v + lp["v"]["b"]
+    if "qkv" in lp:
+        # int4 layout: q/k/v fused into one packed matrix -> ONE kernel call
+        qkv = mm(hn, lp["qkv"]["w"])
+        if lp["qkv"]["b"] is not None:
+            qkv = qkv + lp["qkv"]["b"]
+        q = qkv[..., : nh * hd]
+        k = qkv[..., nh * hd: (nh + nkv) * hd]
+        v = qkv[..., (nh + nkv) * hd:]
+    else:
+        q = mm(hn, lp["q"]["w"])
+        if lp["q"]["b"] is not None:
+            q = q + lp["q"]["b"]
+        k = mm(hn, lp["k"]["w"])
+        if lp["k"]["b"] is not None:
+            k = k + lp["k"]["b"]
+        v = mm(hn, lp["v"]["w"])
+        if lp["v"]["b"] is not None:
+            v = v + lp["v"]["b"]
     q = apply_rope(q.reshape(b, t, nh, hd), cos, sin)
     k = apply_rope(k.reshape(b, t, nkv, hd), cos, sin)
 
@@ -231,19 +241,32 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
         use_kernel = decode_ctx is not None and t == 1
 
     if use_flash and t > 1:
-        # prefill: attention spans exactly the newly-written kv; O(T) memory
-        from ..ops.flash_attention import flash_attention_prefill
-        att = flash_attention_prefill(q, k, v.reshape(b, t, nkv, hd),
-                                      pad_mask, causal=True)
+        # prefill: attention spans exactly the newly-written kv; O(T) memory.
+        # Under TP the heads stay sharded: shard_map runs the kernel on each
+        # shard's local heads (no gather)
+        vr = v.reshape(b, t, nkv, hd)
+        if mesh is not None:
+            from ..ops.flash_attention import flash_attention_prefill_sharded
+            att = flash_attention_prefill_sharded(mesh, q, k, vr, pad_mask)
+        else:
+            from ..ops.flash_attention import flash_attention_prefill
+            att = flash_attention_prefill(q, k, vr, pad_mask, causal=True)
     elif use_kernel:
         # long-context decode: Pallas kernel reads the full stacked cache
         # (layer index folded into the block map — no slice materialization)
         # and skips beyond-length cache blocks; int8 caches dequantize
-        # per-block inside the kernel
-        from ..ops.decode_attention import decode_attention
+        # per-block inside the kernel.  Under TP, shard_map keeps the cache's
+        # fused KVH*D lanes sharded — each shard DMAs only its local heads
         visible, lengths = decode_ctx
-        att = decode_attention(q[:, 0], k_full, v_full, li, visible, lengths,
-                               k_scale=ks_full, v_scale=vs_full)[:, None]
+        if mesh is not None:
+            from ..ops.decode_attention import decode_attention_sharded
+            att = decode_attention_sharded(mesh, q[:, 0], k_full, v_full, li,
+                                           visible, lengths,
+                                           k_scale=ks_full, v_scale=vs_full)[:, None]
+        else:
+            from ..ops.decode_attention import decode_attention
+            att = decode_attention(q[:, 0], k_full, v_full, li, visible, lengths,
+                                   k_scale=ks_full, v_scale=vs_full)[:, None]
     else:
         if cache_full is not None:
             s_max = k_full.shape[2]
@@ -263,7 +286,12 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
     x = x + att
 
     hn = rms_norm(x, lp["post_norm_w"], cfg.rms_norm_eps)
-    mlp = mm(jax.nn.silu(mm(hn, lp["gate"])) * mm(hn, lp["up"]), lp["down"])
+    if "gateup" in lp:
+        gu = mm(hn, lp["gateup"])
+        ffn = gu.shape[-1] // 2
+        mlp = mm(jax.nn.silu(gu[..., :ffn]) * gu[..., ffn:], lp["down"])
+    else:
+        mlp = mm(jax.nn.silu(mm(hn, lp["gate"])) * mm(hn, lp["up"]), lp["down"])
     return x + mlp, new_cache
 
 

@@ -178,4 +178,46 @@ def decode_attention(
     )(*operands)
 
 
-__all__ = ["decode_attention"]
+def decode_attention_sharded(
+    mesh, q, k_full, v_full, layer: int, visible, lengths,
+    k_scale=None, v_scale=None, model_axis: str = "model",
+) -> jnp.ndarray:
+    """Tensor-parallel decode attention: heads (and the cache's fused KVH*D
+    lanes) stay sharded over `model_axis`; each shard runs the kernel on its
+    local heads — NO cache gather.  GQA groups are shard-local as long as the
+    axis size divides KVH (1.5B: KVH=2 -> TP<=2; 7B: KVH=4 -> TP<=4), which
+    the HF tp_plan the reference declares (configuration_vibevoice.py:175-183)
+    assumes too.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape[model_axis]
+    d = q.shape[-1]
+    kvh = k_full.shape[3] // d
+    if kvh % mp:
+        raise ValueError(f"model axis {mp} must divide num_key_value_heads {kvh}")
+
+    qs = P(None, model_axis, None)
+    cs = P(None, None, None, model_axis)
+    quant = k_scale is not None
+
+    if quant:
+        def f(q, k, v, vis, ln, ks, vs):
+            return decode_attention(q, k, v, layer, vis, ln, k_scale=ks, v_scale=vs)
+        return shard_map(
+            f, mesh=mesh,
+            in_specs=(qs, cs, cs, P(None, None), P(None), P(), P()),
+            out_specs=qs, check_rep=False,
+        )(q, k_full, v_full, visible, lengths, k_scale, v_scale)
+
+    def f(q, k, v, vis, ln):
+        return decode_attention(q, k, v, layer, vis, ln)
+    return shard_map(
+        f, mesh=mesh,
+        in_specs=(qs, cs, cs, P(None, None), P(None)),
+        out_specs=qs, check_rep=False,
+    )(q, k_full, v_full, visible, lengths)
+
+
+__all__ = ["decode_attention", "decode_attention_sharded"]

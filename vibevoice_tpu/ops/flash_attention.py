@@ -158,4 +158,24 @@ def flash_attention_prefill(
     return out[:, :t]
 
 
-__all__ = ["flash_attention_prefill"]
+def flash_attention_prefill_sharded(mesh, q, k, v, pad_mask, causal: bool = True,
+                                    model_axis: str = "model") -> jnp.ndarray:
+    """Tensor-parallel flash prefill: q/k/v heads sharded over `model_axis`,
+    each shard attends its local heads (GQA groups are shard-local when the
+    axis size divides KVH)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape[model_axis]
+    if k.shape[2] % mp:
+        raise ValueError(f"model axis {mp} must divide num_key_value_heads {k.shape[2]}")
+    hs = P(None, None, model_axis, None)
+
+    def f(q, k, v, pm):
+        return flash_attention_prefill(q, k, v, pm, causal=causal)
+    return shard_map(f, mesh=mesh,
+                     in_specs=(hs, hs, hs, P(None, None)),
+                     out_specs=hs, check_rep=False)(q, k, v, pad_mask)
+
+
+__all__ = ["flash_attention_prefill", "flash_attention_prefill_sharded"]
