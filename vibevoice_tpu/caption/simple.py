@@ -49,36 +49,58 @@ def chunk_words(sentence: str, max_words: int = 15) -> List[str]:
     return [" ".join(words[i:i + max_words]) for i in range(0, len(words), max_words)]
 
 
-class SimpleCaptionGenerator:
-    """Align a script to an audio duration (ref :28-1305)."""
+def _word_count(text: str) -> int:
+    return len(text.split())
 
-    def __init__(self, words_per_minute: float = 150.0,
-                 speaker_change_pause: float = 0.5,
+
+class SimpleCaptionGenerator:
+    """Align a script to an audio duration (ref :28-1305).
+
+    Alignment ladder, matching the reference's `_calculate_timing` (:233-260):
+      1. faster-whisper word-level alignment (when the optional dep +
+         audio file are available) — `_align_with_faster_whisper` :421-652
+      2. ffmpeg silencedetect sentence-boundary alignment with word-count
+         proportional mapping — `_detect_audio_aligned_segments` :654-1100
+      3. words-per-minute heuristic with speaker pauses and the reference's
+         progressive-slowdown model — `_calculate_timing` :265-419
+    """
+
+    def __init__(self, words_per_minute: float = 120.0,
+                 speaker_change_pause: float = 1.0,
+                 segment_pause: float = 0.8,
                  max_words_per_caption: int = 15,
-                 min_segment_duration: float = 0.8,
+                 min_segment_duration: float = 1.0,
                  silence_threshold_db: float = -30.0,
-                 min_silence_duration: float = 0.25):
+                 min_silence_duration: float = 0.25,
+                 min_detected_segment_duration: float = 0.6,
+                 silence_calibration_offset: float = 3.0,
+                 whisper_model: str = "base"):
         self.wpm = words_per_minute
-        self.speaker_change_pause = speaker_change_pause
+        self.speaker_change_pause = speaker_change_pause  # ref pause_between_speakers
+        self.segment_pause = segment_pause                # ref pause_between_segments
         self.max_words = max_words_per_caption
         self.min_segment_duration = min_segment_duration
         self.silence_threshold_db = silence_threshold_db
         self.min_silence_duration = min_silence_duration
+        self.min_detected_segment_duration = min_detected_segment_duration
+        # the reference shifts silence-derived timings forward by a fixed
+        # 3 s "calibration" (ref :989-1005); configurable here
+        self.silence_calibration_offset = silence_calibration_offset
+        self.whisper_model = whisper_model
 
     # ------------------------------------------------------------------
     def generate(self, script_lines: Sequence[Tuple[str, str]], duration: float,
                  audio_path: Optional[str] = None) -> List[CaptionSegment]:
-        """script_lines: [(speaker, text)]; duration: audio seconds.
-
-        Alignment ladder (ref :421, :654, :223): faster-whisper word
-        alignment -> ffmpeg silence boundaries -> WPM heuristic.
-        """
-        segments = self._chunk_script(script_lines)
+        """script_lines: [(speaker, text)]; duration: audio seconds."""
+        chunks = self._chunk_script(script_lines)
         if audio_path and os.path.exists(audio_path):
-            aligned = self._align_with_silences(segments, duration, audio_path)
-            if aligned is not None:
-                return aligned
-        return self._calculate_timing(segments, duration)
+            words = self._transcribe_words(audio_path)
+            if words:
+                return self._segments_from_words(chunks, words, duration)
+            audio_segs = self._audio_aligned_segments(audio_path, duration, len(chunks))
+            if audio_segs:
+                return self._segments_from_word_count(chunks, audio_segs, duration)
+        return self._calculate_timing(chunks, duration)
 
     # ------------------------------------------------------------------
     def _chunk_script(self, script_lines) -> List[Tuple[str, str]]:
@@ -89,35 +111,59 @@ class SimpleCaptionGenerator:
                     chunks.append((speaker, chunk))
         return chunks
 
+    # ------------------------------------------------------------------
+    # rung 3: WPM heuristic with progressive slowdown (ref :265-419)
+    # ------------------------------------------------------------------
     def _calculate_timing(self, chunks, duration: float) -> List[CaptionSegment]:
-        """WPM heuristic with speaker-change pauses + proportional rescale to
-        the true duration (ref _calculate_timing :223-352)."""
+        """Word-count-proportional timing with the reference's progressive
+        slowdown: pauses grow up to +50% in the second half (:310-323),
+        segment durations grow up to +60% from 20% through (:333-345),
+        everything rescaled to fit the true duration exactly (:348-356)."""
         if not chunks:
             return []
-        word_rate = self.wpm / 60.0
-        est = []
-        prev_speaker = None
-        for speaker, text in chunks:
-            dur = max(len(text.split()) / word_rate, self.min_segment_duration)
-            pause = self.speaker_change_pause if (prev_speaker is not None and
-                                                  speaker != prev_speaker) else 0.0
-            est.append((speaker, text, dur, pause))
-            prev_speaker = speaker
-        total = sum(d + p for _, _, d, p in est)
-        scale = duration / total if total > 0 else 1.0
-        out, t = [], 0.0
-        for speaker, text, dur, pause in est:
-            t += pause * scale
-            out.append(CaptionSegment(start=t, end=min(t + dur * scale, duration),
-                                      text=text, speaker=speaker))
-            t += dur * scale
-        if out:
-            out[-1].end = duration
+        n = len(chunks)
+        total_words = sum(_word_count(t) for _, t in chunks) or 1
+
+        pauses = []
+        for i in range(n - 1):
+            base = (self.speaker_change_pause if chunks[i + 1][0] != chunks[i][0]
+                    else self.segment_pause)
+            if i >= n * 0.5:
+                progress = (i - n * 0.5) / (n * 0.5)
+                base *= 1.0 + progress * 0.5
+            pauses.append(base)
+        available = duration - sum(pauses)
+
+        durs = []
+        for i, (_, text) in enumerate(chunks):
+            d = available * _word_count(text) / total_words
+            if i >= n * 0.2:
+                progress = (i - n * 0.2) / (n * 0.8)
+                d *= 1.0 + progress * 0.60
+            durs.append(max(self.min_segment_duration, d))
+
+        total = sum(durs) + sum(pauses)
+        if total > 0 and abs(total - duration) > 0.01:
+            scale = duration / total
+            durs = [d * scale for d in durs]
+            pauses = [p * scale for p in pauses]
+
+        out: List[CaptionSegment] = []
+        t = 0.0
+        for i, (speaker, text) in enumerate(chunks):
+            end = duration if i == n - 1 else min(t + durs[i], duration)
+            out.append(CaptionSegment(start=t, end=end, text=text, speaker=speaker))
+            t = end
+            if i < n - 1:
+                t += min(pauses[i], max(0.0, duration - t))
+        out[-1].end = duration
         return out
 
     # ------------------------------------------------------------------
+    # rung 2: silencedetect sentence boundaries (ref :654-1100)
+    # ------------------------------------------------------------------
     def _detect_silences(self, audio_path: str) -> Optional[List[Tuple[float, float]]]:
-        """ffmpeg silencedetect (ref :654-700); None when ffmpeg is absent."""
+        """ffmpeg silencedetect (ref :656-700); None when ffmpeg is absent."""
         if shutil.which("ffmpeg") is None:
             return None
         cmd = ["ffmpeg", "-i", audio_path, "-af",
@@ -138,31 +184,228 @@ class SimpleCaptionGenerator:
                 start = None
         return silences
 
-    def _align_with_silences(self, chunks, duration: float,
-                             audio_path: str) -> Optional[List[CaptionSegment]]:
+    def _audio_aligned_segments(self, audio_path: str, duration: float,
+                                target: int) -> Optional[List[Tuple[float, float]]]:
         silences = self._detect_silences(audio_path)
         if not silences:
             return None
-        # candidate boundaries at silence midpoints
-        bounds = sorted((s + e) / 2 for s, e in silences if e < duration)
-        base = self._calculate_timing(chunks, duration)
-        snapped = []
-        for seg in base:
-            end = seg.end
-            # snap the end to the nearest silence midpoint within 0.75 s
-            cand = min(bounds, key=lambda b: abs(b - end), default=None)
-            if cand is not None and abs(cand - end) < 0.75:
-                end = cand
-            snapped.append(CaptionSegment(seg.start, max(end, seg.start + 0.2),
-                                          seg.text, seg.speaker))
-        # enforce monotonicity
-        for i in range(1, len(snapped)):
-            if snapped[i].start < snapped[i - 1].end:
-                snapped[i].start = snapped[i - 1].end
-                snapped[i].end = max(snapped[i].end, snapped[i].start + 0.2)
-        if snapped:
-            snapped[-1].end = duration
-        return snapped
+        return self.speech_segments_for_sentences(silences, duration, target)
+
+    def speech_segments_for_sentences(self, silences: List[Tuple[float, float]],
+                                      duration: float,
+                                      target: int) -> List[Tuple[float, float]]:
+        """Sentence-per-speech-segment assignment between silences
+        (ref _detect_audio_aligned_segments :700-786)."""
+        speech: List[Tuple[float, float]] = []
+        if silences[0][0] > 0:
+            speech.append((0.0, silences[0][0]))
+        for i, (s_start, s_end) in enumerate(silences):
+            nxt = silences[i + 1][0] if i + 1 < len(silences) else None
+            if nxt is not None:
+                speech.append((s_end, nxt))
+            elif s_end < duration:
+                speech.append((s_end, duration))
+        if not speech:
+            speech.append((0.0, duration))
+
+        # drop/merge segments shorter than the detection floor (ref :740-755)
+        filtered: List[Tuple[float, float]] = []
+        for seg in speech:
+            if seg[1] - seg[0] >= self.min_detected_segment_duration or not filtered:
+                filtered.append(seg)
+            else:
+                filtered[-1] = (filtered[-1][0], seg[1])
+        # merge adjacent pairs that are BOTH short (ref :758-770)
+        i = 0
+        while i < len(filtered) - 1:
+            if (filtered[i][1] - filtered[i][0] < 1.5
+                    and filtered[i + 1][1] - filtered[i + 1][0] < 1.5):
+                filtered[i] = (filtered[i][0], filtered[i + 1][1])
+                filtered.pop(i + 1)
+            else:
+                i += 1
+
+        if len(filtered) == target:
+            return filtered
+        return self._map_silences_to_sentences(silences, filtered, target, duration)
+
+    def _map_silences_to_sentences(self, silences, speech_segments, target: int,
+                                   duration: float) -> List[Tuple[float, float]]:
+        """Boundary selection when silence count != sentence count
+        (ref :786-860): sentence boundaries at silence STARTS; keep the
+        longest silences when there are too many, interpolate uniformly when
+        too few.  (The reference additionally hardcodes a boundary at ~213 s
+        for one specific podcast, :816-834 — a script-specific patch, not
+        mirrored.)"""
+        if len(speech_segments) == target:
+            return speech_segments
+        starts = sorted(s[0] for s in silences)
+        if len(starts) > target - 1:
+            by_len = sorted(((e - s, s) for s, e in silences), reverse=True)
+            starts = sorted(s for _, s in by_len[:target - 1])
+        elif len(starts) < target - 1:
+            step = duration / target
+            starts = [i * step for i in range(1, target)]
+        segs: List[Tuple[float, float]] = []
+        cursor = 0.0
+        for b in starts:
+            if b > cursor:
+                segs.append((cursor, b))
+            cursor = b
+        if cursor < duration:
+            segs.append((cursor, duration))
+        return segs
+
+    def _segments_from_word_count(self, chunks, audio_segments,
+                                  duration: float) -> List[CaptionSegment]:
+        """Word-count-proportional mapping of text chunks onto the detected
+        speech timeline (ref _build_segments_from_audio_alignment_with_word_count
+        :967-1073).  The calibration offset is applied twice, exactly like the
+        reference — once to the audio segments (:997-1003) and again to the
+        final timings (:1045-1047)."""
+        if len(audio_segments) > len(chunks):
+            audio_segments = audio_segments[:len(chunks)]
+        audio_segments = list(audio_segments)
+        while len(audio_segments) < len(chunks):
+            last = audio_segments[-1]
+            audio_segments.append((last[1], last[1] + 1.0))
+
+        off = self.silence_calibration_offset
+        audio_segments = [(max(0.0, s + off), min(duration, e + off))
+                          for s, e in audio_segments]
+        total_words = sum(_word_count(t) for _, t in chunks) or 1
+        total_speech = sum(e - s for s, e in audio_segments)
+
+        out: List[CaptionSegment] = []
+        cum = 0.0
+        for speaker, text in chunks:
+            seg_dur = total_speech * _word_count(text) / total_words
+            t0, t1 = cum, cum + seg_dur
+            actual_start = actual_end = 0.0
+            cursor = 0.0
+            for a_start, a_end in audio_segments:
+                a_dur = a_end - a_start
+                if cursor <= t0 < cursor + a_dur:
+                    actual_start = a_start + (t0 - cursor)
+                if cursor < t1 <= cursor + a_dur:
+                    actual_end = a_start + (t1 - cursor)
+                    break
+                cursor += a_dur
+            if actual_end == 0.0:
+                actual_end = min(audio_segments[-1][1], actual_start + seg_dur)
+            out.append(CaptionSegment(
+                start=max(0.0, actual_start + off),
+                end=min(duration, actual_end + off),
+                text=text, speaker=speaker))
+            cum += seg_dur
+        if out:
+            out[-1].end = audio_segments[-1][1]
+        return out
+
+    # ------------------------------------------------------------------
+    # rung 1: faster-whisper word-level alignment (ref :421-652)
+    # ------------------------------------------------------------------
+    def _transcribe_words(self, audio_path: str) -> Optional[List[Dict]]:
+        """Word timings via faster-whisper (CPU int8, ref :505-513); None
+        when the optional dependency is missing or transcription fails."""
+        try:
+            from faster_whisper import WhisperModel  # optional dep
+        except ImportError:
+            return None
+        try:
+            model = WhisperModel(self.whisper_model, device="cpu", compute_type="int8")
+            segments, _info = model.transcribe(audio_path, word_timestamps=True,
+                                               language="en", beam_size=5)
+            words = []
+            for seg in segments:
+                for w in (getattr(seg, "words", None) or []):
+                    words.append({"word": w.word.strip(),
+                                  "start": float(w.start), "end": float(w.end)})
+            return words or None
+        except Exception:
+            return None
+
+    @staticmethod
+    def _clean_words(text: str) -> List[str]:
+        """Normalize script text for transcript matching (ref :531-540)."""
+        t = re.sub(r"Speaker\s+\d+:\s*", "", text)
+        for a, b in (("’", "'"), ("‘", "'"), ("“", '"'),
+                     ("”", '"'), ("—", "-"), ("–", "-"),
+                     ("…", "...")):
+            t = t.replace(a, b)
+        return [w.strip(".,!?;:").lower() for w in t.split() if w.strip()]
+
+    def _segments_from_words(self, chunks, words: List[Dict],
+                             duration: float) -> List[CaptionSegment]:
+        """Sequential forward-only matching of script chunks against
+        transcribed word timings (ref :545-652): a 200-word search window,
+        70% full / 50% partial match acceptance, apostrophe-tolerant
+        comparison, proportional fallback, monotonicity enforcement."""
+        transcribed = [w["word"].strip().lower() for w in words]
+        out: List[CaptionSegment] = []
+        word_idx = 0
+        total_words = sum(_word_count(t) for _, t in chunks) or 1
+        words_before = 0
+        word_rate = self.wpm / 60.0
+
+        for speaker, text in chunks:
+            seg_words = self._clean_words(text)
+            if not seg_words:
+                continue
+            # transcribed words are compared whitespace-stripped only (the
+            # reference does not strip punctuation on the transcript side,
+            # :556, :565) — script words carry the punctuation stripping
+            seg_start = seg_end = None
+            limit = min(word_idx + 200, len(transcribed))
+            for i in range(word_idx, limit):
+                if transcribed[i] != seg_words[0]:
+                    continue
+                # a failed (<50%) candidate is NOT reset: the reference keeps
+                # the last candidate's start/end when the scan runs out
+                matched = 1
+                seg_start = words[i]["start"]
+                seg_end = None
+                look = min(i + len(seg_words) + 5, len(transcribed))
+                for j in range(i + 1, look):
+                    if matched >= len(seg_words):
+                        break
+                    nxt = transcribed[j]
+                    exp = seg_words[matched]
+                    if nxt == exp or nxt.replace("'", "") == exp.replace("'", ""):
+                        matched += 1
+                        seg_end = words[j]["end"]
+                    elif matched >= len(seg_words) * 0.7:
+                        break
+                if matched >= len(seg_words) * 0.7:
+                    word_idx = i + matched
+                    break
+                if matched >= len(seg_words) * 0.5:
+                    if seg_end is None:
+                        seg_end = words[min(i + matched - 1, len(words) - 1)]["end"]
+                    word_idx = i + matched
+                    break
+
+            if seg_start is None:
+                # proportional fallback (ref :594-618)
+                seg_start = duration * words_before / total_words
+                seg_end = seg_start + _word_count(text) / word_rate
+                if out and seg_start < out[-1].end:
+                    shift = out[-1].end - seg_start
+                    seg_start += shift
+                    seg_end += shift
+            if seg_end is None:
+                seg_end = seg_start + 1.0
+            if out and seg_start < out[-1].end:  # monotonicity (ref :622-631)
+                seg_start = out[-1].end
+                if seg_end <= seg_start:
+                    seg_end = seg_start + 1.0
+            out.append(CaptionSegment(start=seg_start, end=min(seg_end, duration),
+                                      text=text, speaker=speaker))
+            words_before += _word_count(text)
+
+        if out and duration > 0:
+            out[-1].end = duration
+        return out
 
 
 # ---------------------------------------------------------------------------
