@@ -1,40 +1,128 @@
 #!/usr/bin/env python
 """Streaming web UI with live captions — equivalent of
-`/root/reference/demo/gradio_demo_with_captions.py:38-1382`.
+`/root/reference/demo/gradio_demo_with_captions.py:38-1382`: the full
+4-speaker streaming interface plus a live-caption panel that follows the
+audio position and a downloadable caption package (SRT/VTT/JSON/transcript)
+produced alongside the complete audio.
 """
 from __future__ import annotations
 
 import argparse
 import os
 import sys
-import time
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from demo.gradio_demo import SAMPLE_RATE, VibeVoiceDemo
+from demo.gradio_demo import SAMPLE_RATE, VibeVoiceDemo, create_demo_interface
 
 
 class VibeVoiceDemoWithCaptions(VibeVoiceDemo):
-    def generate_with_captions(self, script: str, voice_paths, max_new_tokens=512):
-        """Yields ((sr, chunk), caption_text) pairs: audio plus the caption
-        line estimated to be active at the current audio position."""
+    def _script_captions(self, script: str, duration: float):
         from vibevoice_tpu.caption.simple import SimpleCaptionGenerator
         parsed = self.tts.processor._parse_script(script)
         lines = [(f"Speaker {sid + 1}", t.strip()) for sid, t in parsed]
-        total_words = sum(len(t.split()) for _, t in lines)
-        est_duration = max(total_words / 2.5, 1.0)  # rough preview timing
-        segments = SimpleCaptionGenerator().generate(lines, est_duration)
+        return SimpleCaptionGenerator().generate(lines, duration)
+
+    def generate_with_captions(self, num_speakers, script, speaker_1=None,
+                               speaker_2=None, speaker_3=None, speaker_4=None,
+                               cfg_scale: float = 1.3, max_new_tokens: int = 512):
+        """Yields (stream_chunk, complete_audio, log, streaming_visible,
+        caption_text, caption_files) — the base demo's stream annotated with
+        the caption line active at the current audio position, and a caption
+        package on the final yield."""
+        total_words = sum(len(t.split()) for t in script.splitlines())
+        est_duration = max(total_words / 2.0, 1.0)  # preview timing estimate
+        segments = self._script_captions(script, est_duration)
 
         elapsed = 0.0
-        for sr, chunk in self.generate_podcast_streaming(script, voice_paths,
-                                                         max_new_tokens):
-            elapsed += len(chunk) / sr
-            active = next((s for s in segments if s.start <= elapsed <= s.end),
-                          segments[-1] if segments else None)
-            text = f"{active.speaker}: {active.text}" if active else ""
-            yield (sr, chunk), text
+        for stream, complete, log, streaming in self.generate_podcast_streaming(
+                num_speakers, script, speaker_1, speaker_2, speaker_3, speaker_4,
+                cfg_scale=cfg_scale, max_new_tokens=max_new_tokens):
+            caption, files = "", None
+            if stream is not None:
+                sr, chunk = stream
+                elapsed += len(chunk) / sr
+                active = next((s for s in segments if s.start <= elapsed <= s.end),
+                              segments[-1] if segments else None)
+                caption = f"{active.speaker}: {active.text}" if active else ""
+            if complete is not None:
+                files = self._caption_package(script, complete)
+            yield stream, complete, log, streaming, caption, files
+
+    def _caption_package(self, script: str, complete):
+        """Final caption artifacts re-timed against the true duration."""
+        from vibevoice_tpu.caption.simple import SimpleCaptionFormatter
+        sr, audio = complete
+        duration = len(audio) / sr
+        segments = self._script_captions(script, duration)
+        out_dir = tempfile.mkdtemp(prefix="vibevoice_captions_")
+        files = SimpleCaptionFormatter().create_caption_package(
+            segments, out_dir, "podcast")
+        return [files["srt"], files["vtt"], files["json"]]
+
+
+def create_demo_interface_with_captions(demo_instance, gr=None):
+    """The full interface plus live-caption panel and caption downloads."""
+    if gr is None:
+        import gradio as gr
+
+    with gr.Blocks(title="VibeVoice-TPU — streaming TTS with live captions") as ui:
+        gr.Markdown("# VibeVoice-TPU with live captions")
+        with gr.Row():
+            with gr.Column(scale=1):
+                num_speakers = gr.Slider(minimum=1, maximum=4, value=2, step=1,
+                                         label="Number of speakers")
+                speaker_selections = [
+                    gr.Dropdown(choices=demo_instance.available_voices,
+                                value=(demo_instance.available_voices[i % max(1, len(demo_instance.available_voices))]
+                                       if demo_instance.available_voices else None),
+                                label=f"Speaker {i + 1}", visible=(i < 2))
+                    for i in range(4)]
+                cfg_scale = gr.Slider(minimum=1.0, maximum=2.0, value=1.3,
+                                      step=0.05, label="CFG scale")
+            with gr.Column(scale=2):
+                script_input = gr.Textbox(label="Script", lines=10,
+                                          value="Speaker 1: Hello!\nSpeaker 2: Hi there.")
+                with gr.Row():
+                    generate_btn = gr.Button("Generate", variant="primary")
+                    stop_btn = gr.Button("Stop", variant="stop", visible=False)
+                audio_output = gr.Audio(label="Streaming audio", streaming=True,
+                                        autoplay=True)
+                live_caption = gr.Textbox(label="Live caption", interactive=False)
+                complete_audio_output = gr.Audio(label="Complete audio", visible=False)
+                caption_files = gr.File(label="Caption package (SRT/VTT/JSON)",
+                                        visible=False)
+                log_output = gr.Textbox(label="Generation log", lines=6,
+                                        interactive=False)
+
+        num_speakers.change(
+            lambda n: [gr.update(visible=(i < int(n))) for i in range(4)],
+            [num_speakers], speaker_selections)
+
+        def wrapper(n, script, s1, s2, s3, s4, cfg):
+            for stream, complete, log, streaming, caption, files in \
+                    demo_instance.generate_with_captions(n, script, s1, s2, s3, s4,
+                                                         cfg_scale=cfg):
+                if complete is not None:
+                    yield (None, gr.update(value=complete, visible=True), log,
+                           caption, gr.update(value=files, visible=True),
+                           gr.update(visible=True), gr.update(visible=False))
+                else:
+                    yield (stream, gr.update(visible=False), log, caption,
+                           gr.update(visible=False),
+                           gr.update(visible=False), gr.update(visible=True))
+
+        generate_btn.click(
+            wrapper,
+            [num_speakers, script_input] + speaker_selections + [cfg_scale],
+            [audio_output, complete_audio_output, log_output, live_caption,
+             caption_files, generate_btn, stop_btn], queue=True)
+        stop_btn.click(lambda: demo_instance.stop_audio_generation(), [], [],
+                       queue=False)
+    return ui
 
 
 def main():
@@ -51,24 +139,8 @@ def main():
         sys.exit(1)
 
     demo_obj = VibeVoiceDemoWithCaptions(args.model_path, args.inference_steps)
-    from demo.inference_from_file import VoiceMapper
-    mapper = VoiceMapper()
-
-    def gen(script, speaker):
-        voice = mapper.get_voice_path(speaker or "1")
-        voices = [voice] if voice else [np.random.default_rng(0).normal(0, 0.02, 24000).astype(np.float32)]
-        for (sr, chunk), caption in demo_obj.generate_with_captions(script, voices):
-            yield (sr, chunk), caption
-
-    with gr.Blocks(title="VibeVoice-TPU + captions") as ui:
-        script = gr.Textbox(label="Script", lines=8,
-                            value="Speaker 1: Hello!\nSpeaker 2: Hi there.")
-        speaker = gr.Textbox(label="Speaker preset", value="1")
-        audio = gr.Audio(label="Audio", streaming=True, autoplay=True)
-        caption = gr.Textbox(label="Live caption")
-        gr.Button("Generate").click(gen, [script, speaker], [audio, caption])
-        gr.Button("Stop").click(lambda: demo_obj.stop())
-    ui.launch(server_port=args.port)
+    ui = create_demo_interface_with_captions(demo_obj, gr)
+    ui.queue().launch(server_port=args.port)
 
 
 if __name__ == "__main__":
