@@ -12,6 +12,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests import _gradio_stub as gr_stub
 
+# import OUR demo package at collection time: the reference_path fixture later
+# prepends /root/reference (which has its own `demo/` dir) to sys.path, and a
+# lazy in-test import would resolve the reference's gradio demo instead
+import demo.gradio_demo  # noqa: E402,F401
+import demo.gradio_demo_with_captions  # noqa: E402,F401
+
 
 @pytest.fixture(scope="module")
 def demo_obj():

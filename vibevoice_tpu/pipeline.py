@@ -112,7 +112,11 @@ class VibeVoiceTTS:
         if max_new_tokens is None:
             # reference default: min(ctx_limit - prompt, 2x prompt)
             # (modeling_vibevoice_inference.py:371-372, :421), bucketed to
-            # limit engine recompiles
+            # limit engine recompiles.  NOTE: each distinct (batch, prompt
+            # bucket, max_new_tokens bucket) compiles a new engine — minutes
+            # cold over a remote tunnel, fast with the persistent compile
+            # cache.  Long-running servers should pass an explicit
+            # max_new_tokens to pin one bucket.
             limit = self.cfg.decoder.max_position_embeddings - t0
             want = min(limit, 2 * t0)
             max_new_tokens = max(64, -(-want // 256) * 256)
