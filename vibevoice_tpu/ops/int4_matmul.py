@@ -52,12 +52,8 @@ def pack_int4(q) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(packed_u8, jnp.int8)
 
 
-def quantize_int4(w, group_size: Optional[int] = None):
-    """Symmetric int4: w [K, N] -> packed int8 [K/2, N] + fp scales.
-
-    scales [1, N] (per output channel) or [K/group_size, N] when grouped.
-    Runs once at load time (on-device jnp ops).
-    """
+@functools.partial(jax.jit, static_argnums=(1,))
+def _quantize_int4_impl(w, group_size: Optional[int]):
     wf = jnp.asarray(w, jnp.float32)
     k, n = wf.shape
     if group_size is None:
@@ -65,12 +61,25 @@ def quantize_int4(w, group_size: Optional[int] = None):
         scale = jnp.maximum(amax / 7.0, 1e-8)
         q = jnp.clip(jnp.round(wf / scale), -8, 7)
     else:
-        assert k % group_size == 0 and group_size % 2 == 0
         g = wf.reshape(k // group_size, group_size, n)
         amax = jnp.abs(g).max(axis=1)  # [G, N]
         scale = jnp.maximum(amax / 7.0, 1e-8)
         q = jnp.clip(jnp.round(g / scale[:, None]), -8, 7).reshape(k, n)
-    return {"qint4": pack_int4(q), "scale4": scale.astype(jnp.float32)}
+    return pack_int4(q), scale.astype(jnp.float32)
+
+
+def quantize_int4(w, group_size: Optional[int] = None):
+    """Symmetric int4: w [K, N] -> packed int8 [K/2, N] + fp scales.
+
+    scales [1, N] (per output channel) or [K/group_size, N] when grouped.
+    Runs once at load time; jitted per weight shape (a whole-model jit would
+    exceed remote-tunnel compile limits, eager would cost ~10 dispatches per
+    weight over the tunnel).
+    """
+    if group_size is not None:
+        assert w.shape[0] % group_size == 0 and group_size % 2 == 0
+    q, scale = _quantize_int4_impl(jnp.asarray(w), group_size)
+    return {"qint4": q, "scale4": scale}
 
 
 def _kernel(x_ref, p_ref, s_ref, o_ref, *, group_size: Optional[int]):

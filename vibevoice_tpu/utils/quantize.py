@@ -13,19 +13,30 @@ pipeline/engine): weight-only, activations stay bf16, norms stay fp32.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 
-def quantize_weight(w: jnp.ndarray, axis: int = 0) -> Dict[str, jnp.ndarray]:
-    """Symmetric per-output-channel int8: w [in, out] -> int8 + scale [out]."""
+@functools.partial(jax.jit, static_argnums=(1,))
+def _quantize_weight_impl(w, axis: int):
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
     scale = (amax / 127.0).astype(jnp.float32)
     q = jnp.clip(jnp.round(wf / jnp.maximum(scale, 1e-12)), -127, 127).astype(jnp.int8)
-    return {"qint8": q, "scale": scale.squeeze(axis).astype(jnp.bfloat16)}
+    return q, scale.squeeze(axis).astype(jnp.bfloat16)
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = 0) -> Dict[str, jnp.ndarray]:
+    """Symmetric per-output-channel int8: w [in, out] -> int8 + scale [out].
+
+    Jitted per shape (one small program per unique weight shape; a single
+    whole-model jit would exceed remote-tunnel compile request limits, and
+    fully eager quantization costs hundreds of dispatches at load time)."""
+    q, scale = _quantize_weight_impl(jnp.asarray(w), axis)
+    return {"qint8": q, "scale": scale}
 
 
 def quantize_weight_int4(w, group_size: Optional[int] = None) -> Dict[str, jnp.ndarray]:
@@ -77,12 +88,30 @@ def quantize_lm(lm_params: Dict[str, Any], quantize_embed: bool = False,
     layers = []
     for lp in lm_params["layers"]:
         nl = dict(lp)
-        for name in ("q", "k", "v", "o"):
-            proj = dict(lp[name])
-            proj["w"] = _quant(lp[name]["w"], mode, group_size)
-            nl[name] = proj
-        for name in ("gate", "up", "down"):
-            nl[name] = _quant(lp[name], mode, group_size)
+        if mode == "int4":
+            # fuse same-input projections into single kernels: q/k/v share hn
+            # and gate/up share hn, so one packed matrix (and ONE Pallas call)
+            # serves each set.  Numerics-identical to separate quantization:
+            # scales are per output column either way.
+            qkv_w = jnp.concatenate([lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]], axis=1)
+            qkv_b = None
+            if lp["q"]["b"] is not None:
+                qkv_b = jnp.concatenate([lp["q"]["b"], lp["k"]["b"], lp["v"]["b"]])
+            nl["qkv"] = {"w": _quant(qkv_w, mode, group_size), "b": qkv_b}
+            nl["gateup"] = _quant(jnp.concatenate([lp["gate"], lp["up"]], axis=1),
+                                  mode, group_size)
+            for name in ("q", "k", "v"):  # superseded by the fused projection
+                nl.pop(name)
+            nl.pop("gate"); nl.pop("up")
+            nl["o"] = {"w": _quant(lp["o"]["w"], mode, group_size), "b": lp["o"]["b"]}
+            nl["down"] = _quant(lp["down"], mode, group_size)
+        else:
+            for name in ("q", "k", "v", "o"):
+                proj = dict(lp[name])
+                proj["w"] = _quant(lp[name]["w"], mode, group_size)
+                nl[name] = proj
+            for name in ("gate", "up", "down"):
+                nl[name] = _quant(lp[name], mode, group_size)
         layers.append(nl)
     out["layers"] = layers
     if quantize_embed:
@@ -107,8 +136,17 @@ def quantize_diffusion_head(head_params: Dict[str, Any], mode: str = "int8",
     layers = []
     for lp in head_params["layers"]:
         nl = dict(lp)
-        for name in ("ada_w", "gate", "up", "down"):
-            nl[name] = _quant(lp[name], mode, group_size)
+        if mode == "int4":
+            # gate/up share their input inside the solver scan: fuse into one
+            # kernel call per step (same rationale as the LM fusion)
+            nl["gateup"] = _quant(jnp.concatenate([lp["gate"], lp["up"]], axis=1),
+                                  mode, group_size)
+            nl.pop("gate"); nl.pop("up")
+            nl["ada_w"] = _quant(lp["ada_w"], mode, group_size)
+            nl["down"] = _quant(lp["down"], mode, group_size)
+        else:
+            for name in ("ada_w", "gate", "up", "down"):
+                nl[name] = _quant(lp[name], mode, group_size)
         layers.append(nl)
     out["layers"] = layers
     out["final_ada_w"] = _quant(head_params["final_ada_w"], mode, group_size)
