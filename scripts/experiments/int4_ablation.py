@@ -13,6 +13,8 @@ from vibevoice_tpu.configs import vibevoice_1_5b
 from vibevoice_tpu.models import vibevoice, qwen2, diffusion_head as dh
 from vibevoice_tpu.utils.quantize import quantize_lm, quantize_diffusion_head, quantize_weight, quantize_weight_int4, mm
 
+PART = sys.argv[1] if len(sys.argv) > 1 else "all"
+
 cfg = vibevoice_1_5b()
 dec = cfg.decoder
 params = jax.jit(lambda k: vibevoice.init_model(k, cfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
@@ -50,26 +52,28 @@ def lm_variant(lm_params, tag):
     bench(f"lm_step_2B/{tag}", step, (emb0, cache0))
 
 
-lm8 = quantize_lm(params["lm"])
-_ = float(lm8["layers"][0]["q"]["w"]["scale"][0])
-lm_variant(lm8, "int8")
-lm4 = quantize_lm(params["lm"], mode="int4")
-_ = float(lm4["layers"][0]["qkv"]["w"]["scale4"][0, 0])
-lm_variant(lm4, "int4")
+if PART in ("all", "lm"):
+    lm8 = quantize_lm(params["lm"])
+    _ = float(lm8["layers"][0]["q"]["w"]["scale"][0])
+    lm_variant(lm8, "int8")
+    lm4 = quantize_lm(params["lm"], mode="int4")
+    _ = float(lm4["layers"][0]["qkv"]["w"]["scale4"][0, 0])
+    lm_variant(lm4, "int4")
 
 # --- logits matmul (tied embed) ---
-h0 = jnp.zeros((1, dec.hidden_size), jnp.bfloat16)
-lmh8 = quantize_weight(params["lm"]["embed"].T)
-_ = float(lmh8["scale"][0])
-lmh4 = quantize_weight_int4(params["lm"]["embed"].T)
-_ = float(lmh4["scale4"][0, 0])
+if PART in ("all", "logits"):
+    h0 = jnp.zeros((1, dec.hidden_size), jnp.bfloat16)
+    lmh8 = quantize_weight(params["lm"]["embed"].T)
+    _ = float(lmh8["scale"][0])
+    lmh4 = quantize_weight_int4(params["lm"]["embed"].T)
+    _ = float(lmh4["scale4"][0, 0])
 
-for tag, w in (("int8", lmh8), ("int4", lmh4)):
-    @jax.jit
-    def logits_step(h, w=w):
-        lg = mm(h, w)
-        return h + lg[:, :dec.hidden_size] * 1e-6
-    bench(f"logits/{tag}", logits_step, h0)
+    for tag, w in (("int8", lmh8), ("int4", lmh4)):
+        @jax.jit
+        def logits_step(h, w=w):
+            lg = mm(h, w)
+            return h + lg[:, :dec.hidden_size] * 1e-6
+        bench(f"logits/{tag}", logits_step, h0)
 
 # --- diffusion head scan (10 steps) ---
 from vibevoice_tpu.schedule import dpm_solver as ds
@@ -90,9 +94,10 @@ def diff_variant(head, tag):
     bench(f"diffusion10/{tag}", sample, cond0)
 
 
-dh8 = quantize_diffusion_head(params["diffusion_head"])
-_ = float(dh8["layers"][0]["gate"]["scale"][0])
-diff_variant(dh8, "int8")
-dh4 = quantize_diffusion_head(params["diffusion_head"], mode="int4")
-_ = float(dh4["layers"][0]["gateup"]["scale4"][0, 0])
-diff_variant(dh4, "int4")
+if PART in ("all", "diff"):
+    dh8 = quantize_diffusion_head(params["diffusion_head"])
+    _ = float(dh8["layers"][0]["gate"]["scale"][0])
+    diff_variant(dh8, "int8")
+    dh4 = quantize_diffusion_head(params["diffusion_head"], mode="int4")
+    _ = float(dh4["layers"][0]["gateup"]["scale4"][0, 0])
+    diff_variant(dh4, "int4")
