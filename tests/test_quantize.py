@@ -173,7 +173,7 @@ def test_int4_engine_generates_and_prefill_path_consistent():
     # cross-path consistency: the same hidden state through mm's GEMV
     # (Pallas) and dequant (XLA) routes
     from vibevoice_tpu.ops.int4_matmul import dequant_int4_xla, int4_matmul
-    wq = qparams["lm"]["layers"][0]["gate"]
+    wq = qparams["lm"]["layers"][0]["gateup"]
     x = jax.random.normal(jax.random.PRNGKey(5), (2, cfg.decoder.hidden_size))
     y_pallas = qz.mm(x, wq)
     y_xla = x @ dequant_int4_xla(wq["qint4"], wq["scale4"], x.dtype)
