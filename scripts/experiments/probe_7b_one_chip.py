@@ -19,7 +19,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from vibevoice_tpu.configs import vibevoice_7b
 from vibevoice_tpu.engine import generate as G
 from vibevoice_tpu.models import qwen2, vibevoice
-from vibevoice_tpu.utils.quantize import quantize_weight, quantize_diffusion_head
+from vibevoice_tpu.utils.quantize import (quantize_weight, quantize_weight_int4,
+                                           quantize_diffusion_head, quantize_lm_layer)
+
+W = os.environ.get("W", "int8")   # int8 | int4 (weight mode for the LM + head)
+B = int(os.environ.get("B", "1"))
 
 cfg = vibevoice_7b()
 dec = cfg.decoder
@@ -52,14 +56,7 @@ def make_layer_bf16(key):
 
 @jax.jit
 def quant_layer(lp):
-    out = dict(lp)
-    for name in ("q", "k", "v", "o"):
-        proj = dict(lp[name])
-        proj["w"] = quantize_weight(lp[name]["w"])
-        out[name] = proj
-    for name in ("gate", "up", "down"):
-        out[name] = quantize_weight(lp[name])
-    return out
+    return quantize_lm_layer(lp, mode=W)
 
 layers = []
 key = jax.random.PRNGKey(0)
@@ -67,7 +64,7 @@ for i in range(dec.num_hidden_layers):
     key, lk = jax.random.split(key)
     bf = make_layer_bf16(lk)
     qlp = quant_layer(bf)
-    jax.block_until_ready(qlp["gate"]["qint8"])
+    jax.block_until_ready(qlp["gateup"]["qint4"] if W == "int4" else qlp["gate"]["qint8"])
     del bf
     layers.append(qlp)
 print(f"quantized {len(layers)} LM layers: {time.perf_counter()-t0:.1f}s", flush=True)
@@ -83,7 +80,8 @@ params["diffusion_head"] = jax.jit(quantize_diffusion_head)(params["diffusion_he
 # int8 embedding table (per-row scales) — memory lever for the 16 GB chip
 params["lm"]["embed"] = jax.jit(lambda e: quantize_weight(e, axis=1))(params["lm"]["embed"])
 # untied 7B lm_head: int8
-params["lm_head"] = jax.jit(lambda k: quantize_weight(
+_qhead = quantize_weight_int4 if W == "int4" else quantize_weight
+params["lm_head"] = jax.jit(lambda k: _qhead(
     jax.random.normal(k, (h, dec.vocab_size), jnp.bfloat16) * std))(jax.random.PRNGKey(2))
 _ = float(params["lm"]["embed"]["qint8"][0, 0])
 print(f"model ready: {time.perf_counter()-t0:.1f}s", flush=True)
@@ -108,16 +106,16 @@ gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          ddpm_steps=10, force_diffusion=True)
 kv_dtype = _os.environ.get("KV", "model")  # KV=int8: quantized KV cache
 t0 = time.perf_counter()
-eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=1,
+eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=B,
                prompt_len=prompt_len, dtype=jnp.bfloat16,
                keep_audio=False,  # serving mode: chunks stream per step
                kv_dtype=kv_dtype)
 print(f"engine built (cache {ctx}): {time.perf_counter()-t0:.1f}s "
       f"flash_prefill={eng.use_flash_prefill} flash_decode={eng.use_flash_decode}", flush=True)
 
-ids = np.zeros((1, prompt_len), np.int32)
-mask = np.ones((1, prompt_len), np.int32)
-sim = np.zeros((1, prompt_len), bool)
+ids = np.zeros((B, prompt_len), np.int32)
+mask = np.ones((B, prompt_len), np.int32)
+sim = np.zeros((B, prompt_len), bool)
 t0 = time.perf_counter()
 state, _ = eng.prefill(ids, mask, sim)
 _ = int(np.asarray(state.frames).sum())
@@ -130,6 +128,8 @@ t0 = time.perf_counter()
 state, _ = eng.decode_chunk(state, 16)
 f = int(np.asarray(state.frames).sum())
 dt = time.perf_counter() - t0
-print(json.dumps({"model": "7B-int8", "cache": ctx, "kv": kv_dtype,
+print(json.dumps({"model": f"7B-{W}", "batch": B, "cache": ctx, "kv": kv_dtype,
                   "ms_per_frame": round(dt / 16 * 1000, 2),
-                  "rtf": round(16 * hop / 24000.0 / dt, 2), "frames": f}), flush=True)
+                  "audio_sec_per_s": round(16 * B * hop / 24000.0 / dt, 2),
+                  "rtf_per_stream": round(16 * hop / 24000.0 / dt, 2),
+                  "frames": f}), flush=True)

@@ -73,6 +73,36 @@ def _quant(w, mode: str, group_size: Optional[int]):
     return quantize_weight(w)
 
 
+def quantize_lm_layer(lp: Dict[str, Any], mode: str = "int8",
+                      group_size: Optional[int] = None) -> Dict[str, Any]:
+    """Quantize one decoder layer.  int4 fuses same-input projections into
+    single kernels: q/k/v share hn and gate/up share hn, so one packed matrix
+    (and ONE Pallas call) serves each set — numerics-identical to separate
+    quantization since scales are per output column either way."""
+    nl = dict(lp)
+    if mode == "int4":
+        qkv_w = jnp.concatenate([lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]], axis=1)
+        qkv_b = None
+        if lp["q"]["b"] is not None:
+            qkv_b = jnp.concatenate([lp["q"]["b"], lp["k"]["b"], lp["v"]["b"]])
+        nl["qkv"] = {"w": _quant(qkv_w, mode, group_size), "b": qkv_b}
+        nl["gateup"] = _quant(jnp.concatenate([lp["gate"], lp["up"]], axis=1),
+                              mode, group_size)
+        for name in ("q", "k", "v"):  # superseded by the fused projection
+            nl.pop(name)
+        nl.pop("gate"); nl.pop("up")
+        nl["o"] = {"w": _quant(lp["o"]["w"], mode, group_size), "b": lp["o"]["b"]}
+        nl["down"] = _quant(lp["down"], mode, group_size)
+    else:
+        for name in ("q", "k", "v", "o"):
+            proj = dict(lp[name])
+            proj["w"] = _quant(lp[name]["w"], mode, group_size)
+            nl[name] = proj
+        for name in ("gate", "up", "down"):
+            nl[name] = _quant(lp[name], mode, group_size)
+    return nl
+
+
 def quantize_lm(lm_params: Dict[str, Any], quantize_embed: bool = False,
                 mode: str = "int8", group_size: Optional[int] = None) -> Dict[str, Any]:
     """Quantize the Qwen2 projection weights (q/k/v/o, gate/up/down).
@@ -85,35 +115,8 @@ def quantize_lm(lm_params: Dict[str, Any], quantize_embed: bool = False,
     use the matmul kernel).
     """
     out = dict(lm_params)
-    layers = []
-    for lp in lm_params["layers"]:
-        nl = dict(lp)
-        if mode == "int4":
-            # fuse same-input projections into single kernels: q/k/v share hn
-            # and gate/up share hn, so one packed matrix (and ONE Pallas call)
-            # serves each set.  Numerics-identical to separate quantization:
-            # scales are per output column either way.
-            qkv_w = jnp.concatenate([lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]], axis=1)
-            qkv_b = None
-            if lp["q"]["b"] is not None:
-                qkv_b = jnp.concatenate([lp["q"]["b"], lp["k"]["b"], lp["v"]["b"]])
-            nl["qkv"] = {"w": _quant(qkv_w, mode, group_size), "b": qkv_b}
-            nl["gateup"] = _quant(jnp.concatenate([lp["gate"], lp["up"]], axis=1),
-                                  mode, group_size)
-            for name in ("q", "k", "v"):  # superseded by the fused projection
-                nl.pop(name)
-            nl.pop("gate"); nl.pop("up")
-            nl["o"] = {"w": _quant(lp["o"]["w"], mode, group_size), "b": lp["o"]["b"]}
-            nl["down"] = _quant(lp["down"], mode, group_size)
-        else:
-            for name in ("q", "k", "v", "o"):
-                proj = dict(lp[name])
-                proj["w"] = _quant(lp[name]["w"], mode, group_size)
-                nl[name] = proj
-            for name in ("gate", "up", "down"):
-                nl[name] = _quant(lp[name], mode, group_size)
-        layers.append(nl)
-    out["layers"] = layers
+    out["layers"] = [quantize_lm_layer(lp, mode=mode, group_size=group_size)
+                     for lp in lm_params["layers"]]
     if quantize_embed:
         out["embed"] = quantize_weight(lm_params["embed"], axis=1)  # per-row scale
     return out
@@ -188,4 +191,4 @@ def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True,
 
 
 __all__ = ["quantize_weight", "quantize_weight_int4", "quantize_model",
-           "quantize_lm", "quantize_diffusion_head", "mm"]
+           "quantize_lm", "quantize_lm_layer", "quantize_diffusion_head", "mm"]
