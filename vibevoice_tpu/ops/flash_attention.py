@@ -55,7 +55,7 @@ def _flash_kernel(off_ref, q_ref, k_ref, v_ref, pad_ref, o_ref,
                                 preferred_element_type=jnp.float32) * scale  # [bq, bk]
 
         # masks: left-pad (pad_ref) + causal within the block
-        pad = pad_ref[0]          # [bk] int32
+        pad = pad_ref[0, 0]       # [bk] int32
         s = jnp.where(pad[None, :] > 0, s, NEG_INF)
         if causal:
             rows = row_off + iq * block_q + jax.lax.broadcasted_iota(
@@ -117,7 +117,10 @@ def flash_attention_prefill(
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
         pad_mask = jnp.pad(pad_mask, ((0, 0), (0, s_pad - s)))
-    pad_mask = pad_mask.astype(jnp.int32)
+    # broadcast to 8 sublanes so the mask block tiles natively at any batch
+    # (a (1, block_k) block is only legal when B == 1)
+    pad_mask = jnp.broadcast_to(pad_mask.astype(jnp.int32)[:, None, :],
+                                (b, 8, s_pad))
 
     nq = t_pad // block_q
     nk = s_pad // block_k
@@ -138,7 +141,7 @@ def flash_attention_prefill(
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki, off: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, off, g=g: (bi, hi // g, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, off, g=g: (bi, hi // g, ki, 0)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki, off: (bi, ki)),
+            pl.BlockSpec((1, 8, block_k), lambda bi, hi, qi, ki, off: (bi, 0, ki)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki, off: (bi, hi, qi, 0)),
         scratch_shapes=[
