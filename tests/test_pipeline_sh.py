@@ -7,8 +7,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_cron_command_dry_path():
-    out = subprocess.run(["bash", os.path.join(REPO, "pipelines", "test_cron_command.sh")],
-                         capture_output=True, text=True, timeout=120)
+    # absolute interpreter path + explicit PATH: the full suite has been seen
+    # to reach this test with a clobbered inherited PATH (exec of 'bash'
+    # failed ENOENT), and the script itself needs PATH for date/mkdir/ffmpeg
+    env = dict(os.environ, PATH="/usr/local/bin:/usr/bin:/bin")
+    out = subprocess.run(["/bin/bash", os.path.join(REPO, "pipelines", "test_cron_command.sh")],
+                         capture_output=True, text=True, timeout=120, env=env)
     assert out.returncode == 0, out.stderr
     assert "PIPELINE DRY PATH OK" in out.stdout
     for check in ("wav: ok", "srt: ok", "dated log: ok",
