@@ -28,7 +28,7 @@ import numpy as np
 # If the live measurement doesn't finish in time, emit the most recent
 # measured value from BENCH_LOCAL.json, clearly marked as stale, and exit —
 # never hang the driver.
-_WATCHDOG_S = 540
+_WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "540"))
 
 
 def _watchdog():
