@@ -23,6 +23,9 @@ B = int(os.environ.get("B", "2"))
 LIVES = [int(x) for x in os.environ.get("LIVES", "16384 32768 63488").split()]
 W = os.environ.get("W", "int8")          # int8 | int4 | bf16
 KV = os.environ.get("KV", "int8")        # int8 | model
+# cache width: B=4 at the full 64K int8-KV cache RESOURCE_EXHAUSTs the
+# 16 GB chip (measured 2026-08-19) — serve B=4 from a 32K cache instead
+CACHE = int(os.environ.get("CACHE", "65536"))
 
 cfg = vibevoice_1_5b()
 hop = cfg.speech_compress_ratio
@@ -35,7 +38,7 @@ _ = float(np.asarray(jax.tree_util.tree_leaves(params)[0]).reshape(-1)[0])
 print(f"init done (B={B} W={W} KV={KV})", flush=True)
 
 prompt_len = 2048
-max_steps = 65536 - prompt_len
+max_steps = CACHE - prompt_len
 gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          speech_diffusion_id=151654, eos_id=151643,
                          ddpm_steps=10, force_diffusion=True)
