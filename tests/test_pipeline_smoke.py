@@ -77,3 +77,15 @@ def test_captions_end_to_end(tts, tmp_path):
     assert os.path.exists(files["srt"])
     srt = open(files["srt"]).read()
     assert "Speaker 1" in srt
+
+
+def test_warm_precompiles_engine_grid(tts):
+    # restore the real bucket chooser (earlier tests monkeypatch tts._engine
+    # onto a forced-diffusion engine)
+    tts._engine = type(tts)._engine.__get__(tts)
+    warmed = tts.warm(batch_sizes=(1,), max_new_tokens=(4,))
+    assert warmed == [(1, 256, 4)]
+    assert (1, 256, 4) in tts._engines
+    # warmed engine is reused for requests that bucket to the same key
+    eng = tts._engines[(1, 256, 4)]
+    assert tts._engine(1, 100, 4) is eng

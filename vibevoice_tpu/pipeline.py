@@ -153,6 +153,33 @@ class VibeVoiceTTS:
                    "steps": res.steps}
         return res, metrics
 
+    def warm(self, batch_sizes: Sequence[int] = (1,),
+             prompt_buckets: Optional[Sequence[int]] = None,
+             max_new_tokens: Sequence[int] = (256,)) -> List[tuple]:
+        """Precompile the serving engines for a shape grid.
+
+        Runs one dummy prefill + 1-step decode per (batch, prompt bucket,
+        max_new_tokens) combination so every program a server will dispatch
+        is compiled (and, with `jax_compilation_cache_dir` set, persisted)
+        before the first request.  Returns the warmed engine keys.
+
+        Cold compiles take minutes per engine over a remote-device tunnel —
+        deployments should warm once at rollout, not per process start.
+        """
+        warmed = []
+        for b in batch_sizes:
+            for p in (prompt_buckets or [self.prompt_bucket]):
+                for m in max_new_tokens:
+                    eng = self._engine(b, p, m)
+                    ids = np.zeros((b, eng.prompt_len), np.int32)
+                    att = np.ones((b, eng.prompt_len), np.int32)
+                    sim = np.zeros((b, eng.prompt_len), bool)
+                    state, _ = eng.prefill(ids, att, sim)
+                    state, _ = eng.decode_chunk(state, 1)
+                    _ = int(np.asarray(state.frames).sum())  # sync
+                    warmed.append((b, eng.prompt_len, m))
+        return warmed
+
     def save_audio(self, audio, path: str) -> str:
         return self.processor.save_audio(audio, path)
 
