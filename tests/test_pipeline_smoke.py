@@ -30,7 +30,8 @@ def _force_diffusion_engine(tts, batch, prompt_len, max_steps):
         eos_id=tts.tokenizer.eos_id, ddpm_steps=3, force_diffusion=True)
     key = (batch, prompt_len, max_steps)
     eng = G.Engine(tts.params, tts.cfg, gen, max_steps=max_steps, batch=batch,
-                   prompt_len=prompt_len, dtype=tts.dtype)
+                   prompt_len=prompt_len, dtype=tts.dtype,
+                   keep_audio=getattr(tts, "keep_audio", True))
     tts._engines[(batch, prompt_len, max_steps)] = eng
     # monkeypatch the bucket chooser to return our engine
     tts._engine = lambda b, p, m: eng
@@ -77,6 +78,22 @@ def test_captions_end_to_end(tts, tmp_path):
     assert os.path.exists(files["srt"])
     srt = open(files["srt"]).read()
     assert "Speaker 1" in srt
+
+
+def test_keep_audio_false_streams_only():
+    tts = VibeVoiceTTS.from_random(cfg=tiny_config(vocab_size=320),
+                                   dtype=jnp.float32, ddpm_steps=2,
+                                   prompt_bucket=256, keep_audio=False)
+    _force_diffusion_engine(tts, 1, 256, 5)
+    with pytest.raises(ValueError, match="audio_streamer"):
+        tts.generate("Speaker 1: Hi.", None, max_new_tokens=5)
+    streamer = AudioStreamer(batch_size=1)
+    res, _ = tts.generate("Speaker 1: Hi.", None, max_new_tokens=5,
+                          audio_streamer=streamer)
+    chunks = list(streamer.get_stream(0))
+    hop = tts.cfg.speech_compress_ratio
+    assert res.audio[0] is None  # buffered waveform dropped by design
+    assert len(chunks) == 5 and all(len(c) == hop for c in chunks)
 
 
 def test_warm_precompiles_engine_grid(tts):

@@ -30,11 +30,16 @@ class VibeVoiceTTS:
                  do_sample: bool = False, refresh_negative: bool = True,
                  algorithm_type: str = "dpmsolver++", kv_dtype: str = "model",
                  int4_group_size: Optional[int] = None,
+                 keep_audio: bool = True,
                  processor: Optional[VibeVoiceProcessor] = None):
         self.do_sample = do_sample
         self.refresh_negative = refresh_negative
         self.algorithm_type = algorithm_type
         self.kv_dtype = kv_dtype
+        # keep_audio=False drops the on-device [B, max_steps, hop] waveform
+        # accumulator (~813 MB for a 90-min run); results then carry
+        # audio=None and consumers MUST attach an audio_streamer
+        self.keep_audio = keep_audio
         if quantize is not None:
             if quantize not in ("int8", "int4"):
                 raise ValueError(f"quantize must be 'int8' or 'int4', got {quantize}")
@@ -98,7 +103,8 @@ class VibeVoiceTTS:
             self._engines[key] = G.Engine(self.params, self.cfg, gen,
                                           max_steps=max_steps, batch=batch,
                                           prompt_len=bucket, dtype=self.dtype,
-                                          kv_dtype=self.kv_dtype)
+                                          kv_dtype=self.kv_dtype,
+                                          keep_audio=self.keep_audio)
         return self._engines[key]
 
     # ------------------------------------------------------------------
@@ -107,6 +113,10 @@ class VibeVoiceTTS:
                  stop_check_fn=None, show_progress: bool = False):
         """script: str | list[str]; voice_samples: paths or arrays (or nested
         per-script lists).  Returns GenerationResult + timing metrics."""
+        if not self.keep_audio and audio_streamer is None:
+            raise ValueError(
+                "keep_audio=False discards the buffered waveform — attach an "
+                "audio_streamer to receive the audio")
         enc = self.processor(script, voice_samples)
         b, t0 = enc.input_ids.shape
         if max_new_tokens is None:
