@@ -37,6 +37,10 @@ CONFIGS = {
                             fused_vocoder=True),
     "sde5-int4-b1-fv": dict(steps=5, algo="sde-dpmsolver++", quant="int4", batch=1,
                             fused_vocoder=True),
+    "sde5-int4-b1-fsem": dict(steps=5, algo="sde-dpmsolver++", quant="int4", batch=1,
+                              fused_semantic=True),
+    "sde5-int4-b1-fsem-fv": dict(steps=5, algo="sde-dpmsolver++", quant="int4",
+                                 batch=1, fused_semantic=True, fused_vocoder=True),
 }
 
 name = sys.argv[1]
@@ -59,7 +63,8 @@ gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          force_diffusion=True)
 b = c["batch"]
 eng = G.Engine(params, cfg, gen, max_steps=128, batch=b, prompt_len=64,
-               dtype=jnp.bfloat16, use_fused_vocoder=c.get("fused_vocoder", False))
+               dtype=jnp.bfloat16, use_fused_vocoder=c.get("fused_vocoder", False),
+               use_fused_semantic=c.get("fused_semantic", False))
 ids = np.zeros((b, 64), np.int32)
 mask = np.ones((b, 64), np.int32)
 sim = np.zeros((b, 64), bool)

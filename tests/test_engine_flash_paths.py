@@ -117,3 +117,41 @@ def test_flash_decode_cache_len_rounded_to_block(interpret_pallas):
         state, _ = eng.step(state)
     assert int(np.asarray(state.frames)[0]) == 3
     assert np.isfinite(np.asarray(state.audio)).all()
+
+
+def test_fused_semantic_engine_matches_regular(monkeypatch):
+    from vibevoice_tpu.ops import fused_blocks as fb
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fb.pl, "pallas_call", interp)
+
+    cfg = tiny_config()
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+
+    def run(use_fused):
+        gen = G.GenerationConfig(speech_start_id=100, speech_end_id=101,
+                                 speech_diffusion_id=102, eos_id=1,
+                                 ddpm_steps=3, force_diffusion=True)
+        eng = G.Engine(params, cfg, gen, max_steps=4, batch=2, prompt_len=16,
+                       use_fused_semantic=use_fused)
+        if use_fused:
+            assert len(eng.params["_semantic_packs"]) > 0
+        ids = np.random.default_rng(2).integers(5, 90, (2, 16)).astype(np.int32)
+        mask = np.ones((2, 16), np.int32)
+        sim = np.zeros((2, 16), bool)
+        state, _ = eng.prefill(ids, mask, sim, rng=jax.random.PRNGKey(4))
+        for _ in range(3):
+            state, _ = eng.step(state)
+        return np.asarray(state.audio), np.asarray(state.tokens)
+
+    (a, ta) = run(False)
+    (b, tb) = run(True)
+    np.testing.assert_array_equal(tb, ta)
+    np.testing.assert_allclose(b, a, atol=3e-5)

@@ -91,3 +91,38 @@ def test_fused_decoder_streaming_matches_regular(interpret_pallas):
     np.testing.assert_allclose(np.asarray(jnp.concatenate(outs_b, 1)),
                                np.asarray(jnp.concatenate(outs_a, 1)),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_fused_encoder_streaming_matches_regular(interpret_pallas):
+    from vibevoice_tpu.configs import SemanticTokenizerConfig
+    cfg = SemanticTokenizerConfig(
+        vae_dim=8, encoder_n_filters=4,
+        encoder_ratios=(4, 2, 2), encoder_depths=(1, 2, 1, 2),
+    )
+    key = jax.random.PRNGKey(1)
+    params = tok.init_encoder(key, cfg)
+    for stage in params["stages"]:
+        for bp in stage:
+            key = jax.random.fold_in(key, 1)
+            bp["gamma"] = jax.random.normal(key, bp["gamma"].shape) * 0.1
+            bp["ffn_gamma"] = jax.random.normal(jax.random.fold_in(key, 2),
+                                                bp["ffn_gamma"].shape) * 0.1
+
+    hop = 4 * 2 * 2  # one frame of audio per streaming step
+    packs = tok.pack_encoder_stages(params, cfg, chunk_t=hop)
+    # tail stages (T<=8): after strides [1,4,2,2] the chunk is 16,4,2,1
+    assert sorted(packs) == [1, 2, 3]
+
+    x = jax.random.normal(jax.random.fold_in(key, 9), (2, 3 * hop, 1)) * 0.5
+    st_a = tok.encoder_state_init(cfg, 2)
+    st_b = tok.encoder_state_init(cfg, 2)
+    outs_a, outs_b = [], []
+    for f in range(3):
+        chunk = x[:, f * hop:(f + 1) * hop]
+        ya, st_a = tok.encoder_apply_streaming(params, cfg, chunk, st_a)
+        yb, st_b = tok.encoder_apply_streaming_fused(params, cfg, chunk, st_b, packs)
+        outs_a.append(ya)
+        outs_b.append(yb)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs_b, 1)),
+                               np.asarray(jnp.concatenate(outs_a, 1)),
+                               atol=3e-5, rtol=1e-4)

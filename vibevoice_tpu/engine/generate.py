@@ -146,11 +146,13 @@ class Engine:
                  use_flash_prefill: Optional[bool] = None,
                  use_flash_decode: Optional[bool] = None,
                  use_fused_vocoder: bool = False,
+                 use_fused_semantic: bool = False,
                  keep_audio: bool = True,
                  kv_dtype: str = "model",
                  mesh=None):
         self.inject_latent_noise = inject_latent_noise
         self.use_fused_vocoder = use_fused_vocoder
+        self.use_fused_semantic = use_fused_semantic
         # kv_dtype="int8": per-slot symmetric int8 KV cache (half the cache
         # memory and long-context attention reads; dequantized in-kernel)
         if kv_dtype not in ("model", "int8"):
@@ -166,6 +168,13 @@ class Engine:
             params = dict(params)
             params["_vocoder_packs"] = tokenizer.pack_decoder_stages(
                 params["acoustic_decoder"], cfg.acoustic_tokenizer)
+        if use_fused_semantic:
+            # fused Block1D chain for the semantic re-encode's small-T tail
+            # stages (the encoder's largest dims)
+            params = dict(params)
+            params["_semantic_packs"] = tokenizer.pack_encoder_stages(
+                params["semantic_encoder"], cfg.semantic_tokenizer,
+                chunk_t=cfg.speech_compress_ratio)
         if use_flash_prefill is None:
             # auto: long prompts with TPU-tileable head dim take the Pallas path
             use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0
@@ -290,8 +299,13 @@ class Engine:
             else:
                 chunk, ac_state2 = tokenizer.decoder_apply_streaming(
                     p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :], acoustic_state)
-            sem, sem_state2 = tokenizer.encoder_apply_streaming(
-                p["semantic_encoder"], cfg.semantic_tokenizer, chunk, semantic_state)
+            if self.use_fused_semantic:
+                sem, sem_state2 = tokenizer.encoder_apply_streaming_fused(
+                    p["semantic_encoder"], cfg.semantic_tokenizer, chunk,
+                    semantic_state, p["_semantic_packs"])
+            else:
+                sem, sem_state2 = tokenizer.encoder_apply_streaming(
+                    p["semantic_encoder"], cfg.semantic_tokenizer, chunk, semantic_state)
             ac_embed = connectors.apply(p["acoustic_connector"], latent)
             sem_embed = connectors.apply(p["semantic_connector"], sem[:, 0])
             diff_embeds = ac_embed + sem_embed

@@ -311,6 +311,72 @@ def encoder_apply_streaming(params: Params, cfg, x: jnp.ndarray, states):
     return y, s
 
 
+def pack_encoder_stages(params: Params, cfg, chunk_t: int, max_frames: int = 8):
+    """Precompute fused-kernel weight packs for encoder stages whose per-chunk
+    T is small enough for VMEM-resident activations.
+
+    At streaming re-encode (one 7.5 Hz frame = `chunk_t` samples, normally
+    3200) stage i runs at T = chunk_t / prod(strides[:i+1]) — the tail
+    stages (T <= 8) carry the largest dims, i.e. most of the weight bytes
+    and the worst per-op arithmetic intensity, exactly what the fused
+    Block1D-chain kernel fixes (mirror of `pack_decoder_stages`)."""
+    if cfg.mixer_layer != "depthwise_conv":
+        return {}  # kernel packs depthwise taps only
+    from ..ops import fused_blocks as fb
+    depths = cfg.encoder_depths
+    strides = [1] + list(reversed(cfg.encoder_ratios))
+    packs = {}
+    t = chunk_t
+    for i in range(len(depths)):
+        assert t % strides[i] == 0, (
+            f"chunk {chunk_t} does not stream-divide encoder strides")
+        t //= strides[i]
+        if t <= max_frames and depths[i] > 0:
+            dtype = params["stages"][i][0]["ffn1"]["w"].dtype
+            packs[i] = fb.pack_stage(params["stages"][i], dtype=dtype)
+    return packs
+
+
+def encoder_apply_streaming_fused(params: Params, cfg, x: jnp.ndarray,
+                                  states, fused_packs):
+    """Streaming encode using the fused Block1D-chain kernel for small-T
+    stages; identical numerics to `encoder_apply_streaming`."""
+    from ..ops import fused_blocks as fb
+    depths = cfg.encoder_depths
+    strides = [1] + list(reversed(cfg.encoder_ratios))
+    groups_of = (lambda d: d) if cfg.mixer_layer == "depthwise_conv" else (lambda d: 1)
+    s = list(states)
+    h = x
+    for i in range(len(depths)):
+        dp = params["down"][i]
+        st = s.pop(0)
+        h, new_st = causal_conv1d_streaming(h, st, dp["w"], dp["b"], stride=strides[i])
+        s.append(new_st)
+        if i in fused_packs:
+            packed = fused_packs[i]
+            n = depths[i]
+            stage_states = [s.pop(0) for _ in range(n)]
+            ctx = jnp.stack([st.buf for st in stage_states], axis=1)
+
+            def _one(row_x, row_ctx):
+                return fb.fused_block_chain(packed, row_x, row_ctx,
+                                            eps=cfg.layernorm_eps)
+
+            h, new_ctx = jax.vmap(_one)(h, ctx)
+            for j in range(n):
+                s.append(ConvState(buf=new_ctx[:, j]))
+        else:
+            for bp in params["stages"][i]:
+                h = _block_apply(bp, h, cfg.layernorm_eps, groups_of(h.shape[-1]), s)
+    if params["final_norm_w"] is not None:
+        h = rms_norm(h, params["final_norm_w"], cfg.layernorm_eps)
+    hp = params["head"]
+    st = s.pop(0)
+    h, new_st = causal_conv1d_streaming(h, st, hp["w"], hp["b"])
+    s.append(new_st)
+    return h, s
+
+
 def decoder_apply_streaming(params: Params, cfg, z: jnp.ndarray, states):
     """Functional streaming decode: returns (audio, new_states)."""
     s = list(states)
@@ -393,6 +459,10 @@ __all__ = [
     "init_decoder",
     "encoder_apply",
     "decoder_apply",
+    "pack_encoder_stages",
+    "pack_decoder_stages",
+    "encoder_apply_streaming_fused",
+    "decoder_apply_streaming_fused",
     "encoder_state_init",
     "decoder_state_init",
     "state_reset_where",
