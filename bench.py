@@ -97,17 +97,19 @@ def main():
 
     t0 = time.perf_counter()
     state, _ = eng.decode_chunk(state, n_bench)  # warmup: compile + run
-    _ = int(np.asarray(state.frames).sum())      # true sync (tunnel-safe)
+    f0 = int(np.asarray(state.frames).sum())     # true sync (tunnel-safe)
     print(f"# chunk warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
     # block_until_ready is not a reliable barrier over remote-device tunnels;
     # a scalar device fetch is. Its ~ms latency is amortized over the chunk.
     t0 = time.perf_counter()
     state, _ = eng.decode_chunk(state, n_bench)
-    _ = int(np.asarray(state.frames).sum())
+    f1 = int(np.asarray(state.frames).sum())
     dt = time.perf_counter() - t0
 
-    frames = n_bench * batch  # force_diffusion: every step emits a frame
+    # count frames actually emitted in the timed chunk (a step at the
+    # max-step cap is a finished no-op and must not be credited)
+    frames = f1 - f0
     audio_sec = frames * frame_sec
     rtf = audio_sec / dt
 
@@ -118,7 +120,7 @@ def main():
         "vs_baseline": round(rtf, 4),
         "config": "bf16, 5-step sde-dpmsolver++ (reference gradio production config)",
         "opt_in_modes_measured_this_round": {
-            "int8 weight-only": 27.7, "int4 LM weights (Pallas dequant-matmul)": 29.2,
+            "int8 weight-only": 26.8, "int4 LM weights (Pallas dequant-matmul)": 28.3,
             "batch8 int8 audio-sec/s": 158.4},
     }))
 

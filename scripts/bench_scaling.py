@@ -30,7 +30,11 @@ def bench_batch(params, cfg, batch: int, steps: int = 32, prompt_len: int = 64):
     gen = G.GenerationConfig(
         speech_start_id=151652, speech_end_id=151653, speech_diffusion_id=151654,
         eos_id=151643, ddpm_steps=10, force_diffusion=True)
-    eng = G.Engine(params, cfg, gen, max_steps=steps + 4, batch=batch,
+    # max_steps must cover warmup + timed chunks: steps that run past the
+    # per-sample cap mark samples finished and the superstep skips the
+    # diffusion branch — a timed chunk beyond the cap measures no-ops and
+    # inflated round-1's B=8 number ~2x (206 vs the honest ~110 audio-sec/s)
+    eng = G.Engine(params, cfg, gen, max_steps=2 * steps + 8, batch=batch,
                    prompt_len=prompt_len, dtype=jnp.bfloat16)
     ids = np.zeros((batch, prompt_len), np.int32)
     mask = np.ones((batch, prompt_len), np.int32)

@@ -33,6 +33,8 @@ CONFIGS = {
     "sde5-bf16-b8": dict(steps=5, algo="sde-dpmsolver++", quant=None, batch=8),
     "sde5-int8-b8": dict(steps=5, algo="sde-dpmsolver++", quant="int8", batch=8),
     "dpm10-int8-b8": dict(steps=10, algo="dpmsolver++", quant="int8", batch=8),
+    "dpm10-bf16-b8": dict(steps=10, algo="dpmsolver++", quant=None, batch=8),
+    "dpm5-bf16-b8": dict(steps=5, algo="dpmsolver++", quant=None, batch=8),
     "sde5-int8-b1-fv": dict(steps=5, algo="sde-dpmsolver++", quant="int8", batch=1,
                             fused_vocoder=True),
     "sde5-int4-b1-fv": dict(steps=5, algo="sde-dpmsolver++", quant="int4", batch=1,
@@ -71,13 +73,16 @@ sim = np.zeros((b, 64), bool)
 t0 = time.perf_counter()
 state, _ = eng.prefill(ids, mask, sim)
 state, _ = eng.decode_chunk(state, 64)
-_ = int(np.asarray(state.frames).sum())
+f0 = int(np.asarray(state.frames).sum())
 print(f"# warmup {time.perf_counter()-t0:.1f}s", flush=True)
 t0 = time.perf_counter()
 state, _ = eng.decode_chunk(state, 64)
-_ = int(np.asarray(state.frames).sum())
+f1 = int(np.asarray(state.frames).sum())
 dt = time.perf_counter() - t0
-audio_sec = 64 * b * hop / 24000.0
-print(json.dumps({"config": name, "ms_per_frame_total": round(dt / 64 * 1000, 3),
+# credit only frames actually emitted (steps at the max-step cap are
+# finished no-ops; with max_steps=128 the timed chunk has one)
+audio_sec = (f1 - f0) * hop / 24000.0
+steps_emitted = (f1 - f0) / b
+print(json.dumps({"config": name, "ms_per_frame_total": round(dt / steps_emitted * 1000, 3),
                   "audio_sec_per_s": round(audio_sec / dt, 2),
                   "rtf_per_stream": round(audio_sec / dt / b, 2)}), flush=True)
