@@ -118,7 +118,7 @@ class VibeVoiceDemo:
     def generate_podcast_streaming(self, num_speakers: int, script: str,
                                    speaker_1=None, speaker_2=None, speaker_3=None,
                                    speaker_4=None, cfg_scale: float = 1.3,
-                                   max_new_tokens: int = 512):
+                                   max_new_tokens: int = 512, on_step=None):
         """Yields (streaming_chunk, complete_audio, log, streaming_visible)
         tuples like the reference (:178-477): chunks buffered to >=30 s or a
         15 s cadence; the final yield carries the full 16-bit waveform."""
@@ -138,7 +138,7 @@ class VibeVoiceDemo:
                 res, _metrics = self.tts.generate(
                     script, voices, max_new_tokens=max_new_tokens,
                     audio_streamer=streamer,
-                    stop_check_fn=lambda: self.stop_flag)
+                    stop_check_fn=lambda: self.stop_flag, on_step=on_step)
                 result.append(res)
             except Exception as e:  # surface into the UI loop
                 err.append(e)

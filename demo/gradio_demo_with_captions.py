@@ -20,44 +20,53 @@ from demo.gradio_demo import SAMPLE_RATE, VibeVoiceDemo, create_demo_interface
 
 
 class VibeVoiceDemoWithCaptions(VibeVoiceDemo):
+    def _script_lines(self, script: str):
+        parsed = self.tts.processor._parse_script(script)
+        return [(f"Speaker {sid + 1}", t.strip()) for sid, t in parsed]
+
     def _script_captions(self, script: str, duration: float):
         from vibevoice_tpu.caption.simple import SimpleCaptionGenerator
-        parsed = self.tts.processor._parse_script(script)
-        lines = [(f"Speaker {sid + 1}", t.strip()) for sid, t in parsed]
-        return SimpleCaptionGenerator().generate(lines, duration)
+        return SimpleCaptionGenerator().generate(self._script_lines(script), duration)
 
     def generate_with_captions(self, num_speakers, script, speaker_1=None,
                                speaker_2=None, speaker_3=None, speaker_4=None,
                                cfg_scale: float = 1.3, max_new_tokens: int = 512):
         """Yields (stream_chunk, complete_audio, log, streaming_visible,
-        caption_text, caption_files) — the base demo's stream annotated with
-        the caption line active at the current audio position, and a caption
-        package on the final yield."""
-        total_words = sum(len(t.split()) for t in script.splitlines())
-        est_duration = max(total_words / 2.0, 1.0)  # preview timing estimate
-        segments = self._script_captions(script, est_duration)
+        caption_text, caption_files).
 
-        elapsed = 0.0
+        Live captions come from the engine's emitted-frame clock: a
+        FrameClockCaptionTracker fed per-step token/frame outputs tracks
+        which speech segment is being generated RIGHT NOW and its exact
+        start/end times.  The final package uses the same tracked timings
+        (falling back to the WPM ladder only if the emitted turn structure
+        didn't match the script), so streamed captions and the downloadable
+        SRT/VTT/JSON agree by construction."""
+        from vibevoice_tpu.caption.simple import FrameClockCaptionTracker
+        tracker = FrameClockCaptionTracker(
+            self._script_lines(script),
+            speech_end_id=self.tts.tokenizer.speech_end_id,
+            hop=self.tts.cfg.speech_compress_ratio)
+        self._caption_tracker = tracker  # exposed for tests
+
         for stream, complete, log, streaming in self.generate_podcast_streaming(
                 num_speakers, script, speaker_1, speaker_2, speaker_3, speaker_4,
-                cfg_scale=cfg_scale, max_new_tokens=max_new_tokens):
+                cfg_scale=cfg_scale, max_new_tokens=max_new_tokens,
+                on_step=tracker.update):
             caption, files = "", None
             if stream is not None:
-                sr, chunk = stream
-                elapsed += len(chunk) / sr
-                active = next((s for s in segments if s.start <= elapsed <= s.end),
-                              segments[-1] if segments else None)
-                caption = f"{active.speaker}: {active.text}" if active else ""
+                caption = tracker.current
             if complete is not None:
-                files = self._caption_package(script, complete)
+                files = self._caption_package(script, complete, tracker)
             yield stream, complete, log, streaming, caption, files
 
-    def _caption_package(self, script: str, complete):
-        """Final caption artifacts re-timed against the true duration."""
+    def _caption_package(self, script: str, complete, tracker=None):
+        """Final caption artifacts: exact engine-clock timings when the
+        emitted turn structure matched the script, WPM ladder otherwise."""
         from vibevoice_tpu.caption.simple import SimpleCaptionFormatter
         sr, audio = complete
-        duration = len(audio) / sr
-        segments = self._script_captions(script, duration)
+        segments = tracker.segments() if tracker is not None else None
+        if segments is None:
+            segments = self._script_captions(script, len(audio) / sr)
         out_dir = tempfile.mkdtemp(prefix="vibevoice_captions_")
         files = SimpleCaptionFormatter().create_caption_package(
             segments, out_dir, "podcast")

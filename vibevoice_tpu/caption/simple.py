@@ -499,5 +499,68 @@ def split_long_segments(segments: Sequence[CaptionSegment], max_duration: float 
     return out
 
 
+class FrameClockCaptionTracker:
+    """Live captions driven by the engine's ACTUAL emitted-frame clock.
+
+    The generated token stream carries real speech-segment boundaries — the
+    model emits `speech_end` between speaker turns (the reference resets its
+    tokenizer streaming caches there, modeling_vibevoice_inference.py:556-560)
+    — and every emitted diffusion frame advances the audio position by
+    exactly hop/sample_rate seconds.  Feeding the engine's per-step outputs
+    (`generate(..., on_step=tracker.update)`) therefore gives exact per-turn
+    caption timings: the streamed preview and the final caption package share
+    one clock by construction, replacing the words-per-second estimate the
+    round-2 demo used.
+
+    If the model closes a different number of speech segments than the script
+    has lines (e.g. merged turns), `segments()` returns None and the caller
+    falls back to the WPM alignment ladder.
+    """
+
+    def __init__(self, script_lines: Sequence[Tuple[str, str]],
+                 speech_end_id: int, hop: int, sample_rate: int = 24000,
+                 sample_idx: int = 0):
+        self.lines = list(script_lines)   # [(speaker, text)]
+        self.speech_end_id = speech_end_id
+        self.frame_sec = hop / float(sample_rate)
+        self.sample_idx = sample_idx
+        self.clock = 0.0                  # emitted audio seconds so far
+        self.turn = 0                     # current script line index
+        self.turn_start = 0.0
+        self.bounds: List[Tuple[float, float]] = []  # closed turns
+
+    def update(self, out) -> None:
+        """Feed one engine StepOutput (numpy fields)."""
+        if bool(out.emitted[self.sample_idx]):
+            self.clock += self.frame_sec
+        if int(out.token[self.sample_idx]) == self.speech_end_id \
+                and self.turn < len(self.lines):
+            self.bounds.append((self.turn_start, self.clock))
+            self.turn_start = self.clock
+            self.turn += 1
+
+    @property
+    def current(self) -> str:
+        """The caption line active at the current emitted-audio position."""
+        if not self.lines:
+            return ""
+        speaker, text = self.lines[min(self.turn, len(self.lines) - 1)]
+        return f"{speaker}: {text}"
+
+    def segments(self) -> Optional[List[CaptionSegment]]:
+        """Exact engine-clock segments, or None if turn structure didn't
+        match the script (caller falls back to the heuristic ladder)."""
+        bounds = list(self.bounds)
+        if self.turn == len(self.lines) - 1 and self.clock > self.turn_start:
+            # final turn left open (generation ended at eos without a
+            # trailing speech_end): close it at the current clock
+            bounds.append((self.turn_start, self.clock))
+        if len(bounds) != len(self.lines):
+            return None
+        return [CaptionSegment(start=s, end=e, text=text, speaker=speaker)
+                for (s, e), (speaker, text) in zip(bounds, self.lines)]
+
+
 __all__ = ["CaptionSegment", "SimpleCaptionGenerator", "SimpleCaptionFormatter",
+           "FrameClockCaptionTracker",
            "split_sentences", "chunk_words", "split_long_segments"]

@@ -123,6 +123,23 @@ def _onehot(idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return (jnp.arange(n)[None, :] == idx[:, None]).astype(jnp.int32)
 
 
+def select_token(logits: jnp.ndarray, rng: jnp.ndarray, step: jnp.ndarray,
+                 do_sample: bool) -> jnp.ndarray:
+    """Greedy or multinomial token selection over constrained logits
+    (ref modeling_vibevoice_inference.py:502-507).
+
+    The sampling key is `fold_in(split(rng)[0], step)`: distinct from the
+    same step's diffusion-noise key (`split(rng)[1]`) and from every other
+    step's key (the carried chain advances once per step, and the fold_in
+    separates the token draw from the chain key it derives from).
+    """
+    if do_sample:
+        k, _ = jax.random.split(rng)
+        k = jax.random.fold_in(k, step)
+        return jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
 def _mesh_from_params(params) -> Optional[Any]:
     """The mesh of a GSPMD-sharded param tree, when its `model` axis is >1
     (tensor parallelism active); None otherwise."""
@@ -192,6 +209,15 @@ class Engine:
         if mesh is None:
             mesh = _mesh_from_params(params)
         self.mesh = mesh
+        if mesh is not None:
+            mp = mesh.shape.get("model", 1)
+            if mp > 1 and cfg.decoder.num_key_value_heads % mp:
+                # GQA groups must be shard-local: the KV cache's fused KVH*D
+                # lanes can only split at head boundaries (1.5B KVH=2 -> TP<=2;
+                # 7B KVH=4 -> TP<=4 — the reference's tp_plan assumes the same)
+                raise ValueError(
+                    f"TP degree {mp} must divide num_key_value_heads "
+                    f"{cfg.decoder.num_key_value_heads}; use a smaller model axis")
         self.params = params
         self.cfg = cfg
         self.gen = gen
@@ -221,6 +247,24 @@ class Engine:
         self._chunk = jax.jit(self._chunk_impl, donate_argnums=(1,), static_argnums=(2,))
 
     # ------------------------------------------------------------------
+    def _constrain_state(self, state: GenState) -> GenState:
+        """Pin GenState shardings under TP: cache lanes over the `model` axis
+        (with the col-sharded k/v projections that write them), everything
+        else replicated.  Without explicit constraints GSPMD picks shardings
+        for the loop-carried state itself — observed as involuntary full
+        rematerialization of conv-state tensors in the r2 multichip dryrun."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(self.mesh, P())
+        kv = NamedSharding(self.mesh, P(None, None, None, "model"))
+        specs = jax.tree_util.tree_map(lambda _: repl, state)
+        specs = specs._replace(cache=qwen2.KVCache(
+            k=kv, v=kv,
+            k_scale=None if state.cache.k_scale is None else repl,
+            v_scale=None if state.cache.v_scale is None else repl))
+        return jax.tree_util.tree_map(lax.with_sharding_constraint, state, specs)
+
     def _post_lm(self, p: Params, state: GenState, h_t: jnp.ndarray,
                  h_neg: jnp.ndarray, neg_slot: jnp.ndarray) -> Tuple[GenState, StepOutput]:
         """Everything after the LM forward for one step.
@@ -238,12 +282,7 @@ class Engine:
         hop = self.hop
 
         logits = vibevoice.lm_logits(p, cfg, h_t).astype(jnp.float32) + self.token_bias
-        if gen.do_sample:
-            rng_tok, _ = jax.random.split(state.rng)
-            rng_tok = jax.random.fold_in(rng_tok, state.step)
-            next_tok = jax.random.categorical(rng_tok, logits, axis=-1).astype(jnp.int32)
-        else:
-            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = select_token(logits, state.rng, state.step, gen.do_sample)
         if gen.force_diffusion:
             next_tok = jnp.full_like(next_tok, gen.speech_diffusion_id)
         next_tok = jnp.where(state.finished, gen.eos_id, next_tok)
@@ -371,8 +410,8 @@ class Engine:
             frames=frames, audio=audio, emitted=emitted, tokens=tokens, rng=rng,
             latent_noise=state.latent_noise,
         )
-        return new_state, StepOutput(token=next_tok, audio_chunk=chunk,
-                                     emitted=is_diff, finished=finished)
+        return self._constrain_state(new_state), StepOutput(
+            token=next_tok, audio_chunk=chunk, emitted=is_diff, finished=finished)
 
     # ------------------------------------------------------------------
     def _prefill_impl(self, params: Params, input_ids: jnp.ndarray,
@@ -409,6 +448,11 @@ class Engine:
         # would transiently double cache memory (OOM for 7B/32K on one chip)
         cache = qwen2.kv_cache_init(dec, 2 * b, self.cache_len, self.dtype,
                                     quantized=self.kv_quant)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            kv_sh = NamedSharding(self.mesh, P(None, None, None, "model"))
+            cache = cache._replace(k=lax.with_sharding_constraint(cache.k, kv_sh),
+                                   v=lax.with_sharding_constraint(cache.v, kv_sh))
 
         # positive prefill into rows [:B]
         bias_t0 = qwen2.causal_bias(attention_mask, t0)
@@ -418,7 +462,8 @@ class Engine:
         hidden, cache = qwen2.forward(p["lm"], dec, embeds, pos, bias,
                                       cache=cache, write_pos=jnp.int32(0),
                                       pad_mask=attention_mask,
-                                      use_flash=self.use_flash_prefill)
+                                      use_flash=self.use_flash_prefill,
+                                      mesh=self.mesh)
         h_last = hidden[:, -1]
 
         # negative pre-seed: speech_start kv at slot 0 of rows [B:] (committed
@@ -430,7 +475,7 @@ class Engine:
         h_neg0, cache = qwen2.forward(p["lm"], dec, ss_embed,
                                       jnp.zeros((b, 1), jnp.int32), neg_bias,
                                       cache=cache, write_pos=jnp.int32(0),
-                                      batch_offset=b)
+                                      batch_offset=b, mesh=self.mesh)
 
         visible = jnp.zeros((2 * b, self.cache_len), jnp.int32)
         visible = visible.at[:b, :t0].set(attention_mask)
@@ -494,7 +539,7 @@ class Engine:
             decode_ctx = (vis_step, lengths)
         hidden, cache = qwen2.forward(
             p["lm"], cfg.decoder, embeds2, positions2, qwen2.decode_bias(vis_step),
-            cache=state.cache, write_pos=wp, decode_ctx=decode_ctx)
+            cache=state.cache, write_pos=wp, decode_ctx=decode_ctx, mesh=self.mesh)
         h_pos, h_neg = hidden[:b, 0], hidden[b:, 0]
 
         state = state._replace(
@@ -555,12 +600,20 @@ def generate(
     check_every: int = 8,
     stream_chunk: int = 4,
     show_progress: bool = False,
+    on_step=None,
 ) -> GenerationResult:
     """Host-side loop (ref generate :328-710).  With a streamer attached it
     advances `stream_chunk` frames per dispatch (one fused scan + one
     readback) and feeds the per-frame chunks to the streamer; otherwise it
     advances in `check_every`-step scans and only syncs flags between
-    chunks."""
+    chunks.
+
+    `on_step(out: StepOutput)` — optional host callback invoked once per
+    decode step with numpy views (token / audio_chunk / emitted / finished).
+    This is the engine's emitted-frame clock: consumers like the live-caption
+    panel derive exact audio positions and speech-segment boundaries from it
+    instead of estimating.  Attaching it forces per-step readbacks (same cost
+    as a streamer)."""
     state, out = engine.prefill(input_ids, attention_mask, speech_input_mask,
                                 speech_tensors, speech_frame_masks, rng, voice_latents,
                                 latent_noise)
@@ -575,6 +628,8 @@ def generate(
             pass
 
     def _feed_streamer(o: StepOutput):
+        if on_step is not None:
+            on_step(StepOutput(*[np.asarray(x) for x in o]))
         if audio_streamer is None:
             return
         emitted = np.asarray(o.emitted)
@@ -588,7 +643,7 @@ def generate(
 
     _feed_streamer(out)
 
-    if audio_streamer is not None or stop_check_fn is not None:
+    if audio_streamer is not None or stop_check_fn is not None or on_step is not None:
         m = max(1, stream_chunk)
         while steps_done < engine.max_steps:
             if stop_check_fn is not None and stop_check_fn():
@@ -629,4 +684,4 @@ def generate(
 
 
 __all__ = ["Engine", "GenerationConfig", "GenState", "StepOutput",
-           "GenerationResult", "generate"]
+           "GenerationResult", "generate", "select_token"]

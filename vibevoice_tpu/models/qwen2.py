@@ -307,11 +307,17 @@ def forward(
     use_flash: bool = False,
     decode_ctx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     batch_offset: int = 0,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack. With `cache`, keys/values are appended at
     `write_pos` (same for all samples — left-padded batching) into cache rows
     [batch_offset : batch_offset+B] and attention spans the cache; without,
-    attention spans the inputs (bias supplied)."""
+    attention spans the inputs (bias supplied).
+
+    `mesh`: a Mesh with a >1 `model` axis routes the Pallas attention kernels
+    through their shard_map wrappers so heads/cache lanes STAY sharded (no
+    per-step cache all-gather) — the executed form of the tp_plan the
+    reference only declares (configuration_vibevoice.py:175-183)."""
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     x = inputs_embeds
     cur = cache
@@ -320,7 +326,8 @@ def forward(
         if cur is not None:
             cache_full = (cur, li, write_pos, batch_offset)
         x, ncache = _layer(lp, cfg, x, cos, sin, cache_full, attn_bias,
-                           pad_mask=pad_mask, use_flash=use_flash, decode_ctx=decode_ctx)
+                           pad_mask=pad_mask, use_flash=use_flash, decode_ctx=decode_ctx,
+                           mesh=mesh)
         if ncache is not None:
             cur = ncache
     x = rms_norm(x, params["final_norm_w"], cfg.rms_norm_eps)

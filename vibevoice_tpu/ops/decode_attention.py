@@ -189,7 +189,7 @@ def decode_attention_sharded(
     the HF tp_plan the reference declares (configuration_vibevoice.py:175-183)
     assumes too.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     mp = mesh.shape[model_axis]
@@ -208,7 +208,7 @@ def decode_attention_sharded(
         return shard_map(
             f, mesh=mesh,
             in_specs=(qs, cs, cs, P(None, None), P(None), P(), P()),
-            out_specs=qs, check_rep=False,
+            out_specs=qs, check_vma=False,
         )(q, k_full, v_full, visible, lengths, k_scale, v_scale)
 
     def f(q, k, v, vis, ln):
@@ -216,7 +216,7 @@ def decode_attention_sharded(
     return shard_map(
         f, mesh=mesh,
         in_specs=(qs, cs, cs, P(None, None), P(None)),
-        out_specs=qs, check_rep=False,
+        out_specs=qs, check_vma=False,
     )(q, k_full, v_full, visible, lengths)
 
 

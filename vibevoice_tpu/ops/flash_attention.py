@@ -166,7 +166,7 @@ def flash_attention_prefill_sharded(mesh, q, k, v, pad_mask, causal: bool = True
     """Tensor-parallel flash prefill: q/k/v heads sharded over `model_axis`,
     each shard attends its local heads (GQA groups are shard-local when the
     axis size divides KVH)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     mp = mesh.shape[model_axis]
@@ -178,7 +178,7 @@ def flash_attention_prefill_sharded(mesh, q, k, v, pad_mask, causal: bool = True
         return flash_attention_prefill(q, k, v, pm, causal=causal)
     return shard_map(f, mesh=mesh,
                      in_specs=(hs, hs, hs, P(None, None)),
-                     out_specs=hs, check_rep=False)(q, k, v, pad_mask)
+                     out_specs=hs, check_vma=False)(q, k, v, pad_mask)
 
 
 __all__ = ["flash_attention_prefill", "flash_attention_prefill_sharded"]

@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _local_attention(q, k, v, pad_mask, row_offset, use_flash: bool):
@@ -64,7 +64,7 @@ def cp_prefill_attention(
         in_specs=(P(None, axis, None, None), P(None, axis, None, None),
                   P(None, axis, None, None), P(None, axis)),
         out_specs=P(None, axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, pad_mask)
 

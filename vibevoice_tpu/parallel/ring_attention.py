@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 NEG_INF = -1e30
 
@@ -92,7 +92,7 @@ def ring_prefill_attention(
         in_specs=(P(None, axis, None, None), P(None, axis, None, None),
                   P(None, axis, None, None), P(None, axis)),
         out_specs=P(None, axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, pad_mask)
 

@@ -110,7 +110,7 @@ class VibeVoiceTTS:
     # ------------------------------------------------------------------
     def generate(self, script, voice_samples=None, max_new_tokens: Optional[int] = None,
                  seed: int = 0, audio_streamer: Optional[AudioStreamer] = None,
-                 stop_check_fn=None, show_progress: bool = False):
+                 stop_check_fn=None, show_progress: bool = False, on_step=None):
         """script: str | list[str]; voice_samples: paths or arrays (or nested
         per-script lists).  Returns GenerationResult + timing metrics."""
         if not self.keep_audio and audio_streamer is None:
@@ -155,7 +155,7 @@ class VibeVoiceTTS:
                          rng=jax.random.PRNGKey(seed),
                          audio_streamer=audio_streamer,
                          stop_check_fn=stop_check_fn,
-                         show_progress=show_progress)
+                         show_progress=show_progress, on_step=on_step)
         wall = time.perf_counter() - t_start
         audio_sec = sum(0 if a is None else len(a) / 24000.0 for a in res.audio)
         metrics = {"wall_s": wall, "audio_sec": audio_sec,
