@@ -1,0 +1,89 @@
+"""Measure σ-VAE stack quantization at the production config (5-step SDE).
+
+Round-2 attribution (step_parts_ablation.py): at int4 LM the vocoder
+(1.48 ms) + semantic re-encode (1.09 ms) dominate the 4.64 ms frame, and
+both are weight-read-bound (the deep D=2048 stage is ~537 MB bf16 per stack
+per frame).  This measures the int8/int4 tokenizer-stack options stacked on
+the int8/int4 LM modes, one engine at a time (params copies freed between
+variants — the 16 GB chip cannot hold them all).
+
+Usage: python scripts/experiments/tokenizer_quant_bench.py [batch]
+"""
+import sys, os, time, json, gc
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+import jax, jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from vibevoice_tpu.configs import vibevoice_1_5b
+from vibevoice_tpu.engine import generate as G
+from vibevoice_tpu.models import vibevoice
+from vibevoice_tpu.utils.quantize import quantize_model
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+
+cfg = vibevoice_1_5b()
+hop = cfg.speech_compress_ratio
+frame_sec = hop / 24000.0
+
+t0 = time.perf_counter()
+base = jax.jit(lambda k: vibevoice.init_model(k, cfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
+base["speech_scaling_factor"] = jnp.asarray(1.0)
+base["speech_bias_factor"] = jnp.asarray(0.0)
+_ = float(np.asarray(base["speech_scaling_factor"]))
+print(f"# init {time.perf_counter()-t0:.1f}s", flush=True)
+
+gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
+                         speech_diffusion_id=151654, eos_id=151643,
+                         cfg_scale=1.3, ddpm_steps=5,
+                         algorithm_type="sde-dpmsolver++", force_diffusion=True)
+
+ids = np.zeros((BATCH, 64), np.int32)
+mask = np.ones((BATCH, 64), np.int32)
+sim = np.zeros((BATCH, 64), bool)
+
+
+def run(tag, lm_mode, tok_mode):
+    t0 = time.perf_counter()
+    if lm_mode is None and tok_mode is None:
+        params = base
+    elif lm_mode is None:
+        from vibevoice_tpu.utils.quantize import quantize_tokenizers
+        params = quantize_tokenizers(base, mode=tok_mode)
+    else:
+        params = quantize_model(base, True, mode=lm_mode, tokenizer_mode=tok_mode)
+    _ = float(np.asarray(params["speech_scaling_factor"]))
+    print(f"# {tag}: quantize {time.perf_counter()-t0:.1f}s", flush=True)
+
+    eng = G.Engine(params, cfg, gen, max_steps=192, batch=BATCH,
+                   prompt_len=64, dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    state, _ = eng.prefill(ids, mask, sim)
+    _ = int(np.asarray(state.frames).sum())
+    print(f"# {tag}: prefill {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    state, _ = eng.decode_chunk(state, 64)
+    f0 = int(np.asarray(state.frames).sum())
+    print(f"# {tag}: warmup {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    state, _ = eng.decode_chunk(state, 64)
+    f1 = int(np.asarray(state.frames).sum())
+    dt = time.perf_counter() - t0
+    frames = f1 - f0
+    rtf = frames * frame_sec / dt
+    ms = dt / (frames / BATCH) * 1000 if frames else float("nan")
+    print(json.dumps({"variant": tag, "batch": BATCH,
+                      "ms_per_frame": round(ms, 3),
+                      "rtf_or_audiosec_per_s": round(rtf, 2)}), flush=True)
+    del params, eng, state
+    gc.collect()
+
+
+run("int4lm+bf16tok (baseline)", "int4", None)
+run("int4lm+int8tok", "int4", "int8")
+run("int4lm+int4tok", "int4", "int4")
+run("int8lm+int8tok", "int8", "int8")
+run("bf16lm+int8tok", None, "int8")

@@ -36,6 +36,7 @@ from ..ops.conv import (
     conv_state_init,
     conv_transpose_state_init,
 )
+from ..utils.quantize import mm
 from .norms import rms_norm
 
 Params = Dict[str, Any]
@@ -155,11 +156,14 @@ def _block_apply(p: Params, x: jnp.ndarray, eps: float, groups: int,
 
     res = x
     h = rms_norm(x, p["ffn_norm_w"], eps)
-    h = h @ p["ffn1"]["w"]
+    # `mm` accepts plain, int8- or int4-quantized weights (the deep stages'
+    # FFNs dominate the per-frame σ-VAE weight reads — see
+    # utils/quantize.quantize_tokenizer_stack)
+    h = mm(h, p["ffn1"]["w"])
     if p["ffn1"]["b"] is not None:
         h = h + p["ffn1"]["b"]
     h = jax.nn.gelu(h, approximate=False)
-    h = h @ p["ffn2"]["w"]
+    h = mm(h, p["ffn2"]["w"])
     if p["ffn2"]["b"] is not None:
         h = h + p["ffn2"]["b"]
     return res + h * p["ffn_gamma"]

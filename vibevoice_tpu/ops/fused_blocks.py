@@ -126,6 +126,11 @@ def _kernel(vecs_ref, mixw_ref, w1_ref, w2_ref, ctx_in_ref,
 
 def pack_stage(blocks, dtype=jnp.float32):
     """Stack a stage's Block1D param dicts into the kernel's packed layout."""
+    if any(isinstance(bp["ffn1"]["w"], dict) for bp in blocks):
+        raise ValueError(
+            "fused Block1D kernel packs plain weights only — it is mutually "
+            "exclusive with quantize_tokenizer (the quantized path's fused "
+            "dequant-matmul already covers these stages' weight reads)")
     n = len(blocks)
     d = blocks[0]["norm_w"].shape[0]
     f = blocks[0]["ffn1"]["w"].shape[1]

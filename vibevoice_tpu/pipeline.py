@@ -30,6 +30,7 @@ class VibeVoiceTTS:
                  do_sample: bool = False, refresh_negative: bool = True,
                  algorithm_type: str = "dpmsolver++", kv_dtype: str = "model",
                  int4_group_size: Optional[int] = None,
+                 quantize_tokenizer: Optional[str] = None,
                  keep_audio: bool = True,
                  processor: Optional[VibeVoiceProcessor] = None):
         self.do_sample = do_sample
@@ -40,12 +41,23 @@ class VibeVoiceTTS:
         # accumulator (~813 MB for a 90-min run); results then carry
         # audio=None and consumers MUST attach an audio_streamer
         self.keep_audio = keep_audio
+        # quantize_tokenizer="int8"/"int4": quantize the σ-VAE decode-path
+        # stacks' FFN weights too (vocoder + semantic re-encode — the largest
+        # per-frame reads once the LM is quantized).  Opt-in separately from
+        # the LM: it touches the waveform path directly.
         if quantize is not None:
             if quantize not in ("int8", "int4"):
                 raise ValueError(f"quantize must be 'int8' or 'int4', got {quantize}")
             from .utils.quantize import quantize_model
             params = quantize_model(params, cfg.decoder.tie_word_embeddings,
-                                    mode=quantize, group_size=int4_group_size)
+                                    mode=quantize, group_size=int4_group_size,
+                                    tokenizer_mode=quantize_tokenizer)
+        elif quantize_tokenizer is not None:
+            from .utils.quantize import quantize_tokenizers
+            if quantize_tokenizer not in ("int8", "int4"):
+                raise ValueError(f"quantize_tokenizer must be 'int8' or 'int4', "
+                                 f"got {quantize_tokenizer}")
+            params = quantize_tokenizers(params, mode=quantize_tokenizer)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

@@ -156,13 +156,72 @@ def quantize_diffusion_head(head_params: Dict[str, Any], mode: str = "int8",
     return out
 
 
+def quantize_tokenizer_stack(stack: Dict[str, Any], mode: str = "int8",
+                             min_dim: int = 512,
+                             group_size: Optional[int] = None) -> Dict[str, Any]:
+    """Quantize the Block1D FFN weights of one tokenizer encoder/decoder stack.
+
+    The decode hot path re-reads the acoustic DECODER and semantic ENCODER
+    weights every 7.5 Hz frame, exactly like the LM.  At the default topology
+    the deep D=2048 stage alone (8 blocks, ref
+    modular_vibevoice_tokenizer.py:687-951 depths (3,3,3,3,3,3,8)) is ~270 M
+    FFN params = 537 MB bf16 per stack per frame — the dominant σ-VAE cost is
+    weight bandwidth, not dispatch (measured: vocoder 1.48 ms + semantic
+    re-encode 1.09 ms of the 4.64 ms int4 frame ≈ the stacks' HBM read time).
+
+    Only FFN matmul weights (ffn1/ffn2 — >90% of stack bytes) are quantized,
+    and only in stages with dim >= `min_dim`: the early large-T stages carry
+    negligible bytes, so leaving them exact costs nothing and concentrates
+    quantization where the arithmetic is a plain channel-wise matmul.  Norms,
+    depthwise mixers, layer-scales, biases and all convs stay in the model
+    dtype.
+    """
+    out = dict(stack)
+    stages = []
+    for blocks in stack["stages"]:
+        nbs = []
+        for bp in blocks:
+            d = bp["norm_w"].shape[0]
+            if d >= min_dim and not isinstance(bp["ffn1"]["w"], dict):
+                nb = dict(bp)
+                nb["ffn1"] = {"w": _quant(bp["ffn1"]["w"], mode, group_size),
+                              "b": bp["ffn1"]["b"]}
+                nb["ffn2"] = {"w": _quant(bp["ffn2"]["w"], mode, group_size),
+                              "b": bp["ffn2"]["b"]}
+                nbs.append(nb)
+            else:
+                nbs.append(bp)
+        stages.append(nbs)
+    out["stages"] = stages
+    return out
+
+
+def quantize_tokenizers(params: Dict[str, Any], mode: str = "int8",
+                        min_dim: int = 512,
+                        group_size: Optional[int] = None) -> Dict[str, Any]:
+    """Quantize the two σ-VAE stacks on the decode hot path: the acoustic
+    decoder (vocoder) and the semantic encoder (frame re-encode).  The
+    acoustic ENCODER only runs at prefill (voice prompts), where its weight
+    read amortizes over the whole prompt — it stays in the model dtype.
+    """
+    out = dict(params)
+    out["acoustic_decoder"] = quantize_tokenizer_stack(
+        params["acoustic_decoder"], mode=mode, min_dim=min_dim, group_size=group_size)
+    out["semantic_encoder"] = quantize_tokenizer_stack(
+        params["semantic_encoder"], mode=mode, min_dim=min_dim, group_size=group_size)
+    return out
+
+
 def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True,
                    quantize_embed: bool = False, mode: str = "int8",
                    group_size: Optional[int] = None,
-                   diffusion_mode: Optional[str] = None) -> Dict[str, Any]:
+                   diffusion_mode: Optional[str] = None,
+                   tokenizer_mode: Optional[str] = None,
+                   tokenizer_min_dim: int = 512) -> Dict[str, Any]:
     """Quantize the LM (and untied lm_head) + diffusion head; the conv
-    tokenizers stay bf16 (their weights are small — dispatch-bound, not
-    weight-bandwidth-bound).
+    tokenizer stacks are additionally quantized when `tokenizer_mode` is set
+    (opt-in — they shape the output waveform directly, so their quantization
+    is a separate quality decision from the LM's).
 
     For tied embeddings a quantized copy of embed^T is added for the logits
     matmul (`lm_head`), trading ~0.5x embed memory for 2-4x logits bandwidth.
@@ -187,8 +246,15 @@ def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True,
         out["lm_head"] = _quant(params["lm_head"], mode, group_size)
     elif tie_word_embeddings:
         out["lm_head"] = _quant(params["lm"]["embed"].T, mode, group_size)
+    if tokenizer_mode is not None:
+        if tokenizer_mode not in ("int8", "int4"):
+            raise ValueError(
+                f"tokenizer_mode must be 'int8' or 'int4', got {tokenizer_mode}")
+        out = quantize_tokenizers(out, mode=tokenizer_mode,
+                                  min_dim=tokenizer_min_dim, group_size=group_size)
     return out
 
 
 __all__ = ["quantize_weight", "quantize_weight_int4", "quantize_model",
-           "quantize_lm", "quantize_lm_layer", "quantize_diffusion_head", "mm"]
+           "quantize_lm", "quantize_lm_layer", "quantize_diffusion_head",
+           "quantize_tokenizer_stack", "quantize_tokenizers", "mm"]
