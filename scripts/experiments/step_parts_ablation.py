@@ -4,11 +4,18 @@ Runs the sde5-int4 production config, then re-measures with the vocoder,
 semantic re-encode, or both replaced by shape-identical no-ops (monkeypatched
 before engine build, so each variant is its own compiled program).  The
 deltas attribute the "rest" bucket that remains after LM/diffusion savings.
+
+Usage: step_parts_ablation.py [batch] [lm_mode] — batch defaults to 1;
+lm_mode to int4.  batch=8 attributes the B=8 per-stream efficiency gap
+(round-2: 74-77% — which phase stops scaling?).
 """
 import sys, os, time, json
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax, jax.numpy as jnp
 import numpy as np
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+LM_MODE = sys.argv[2] if len(sys.argv) > 2 else "int4"
 
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -24,9 +31,10 @@ hop = cfg.speech_compress_ratio
 params = jax.jit(lambda k: vibevoice.init_model(k, cfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
 params["speech_scaling_factor"] = jnp.asarray(1.0)
 params["speech_bias_factor"] = jnp.asarray(0.0)
-params = quantize_model(params, True, mode="int4")
+if LM_MODE != "bf16":
+    params = quantize_model(params, True, mode=LM_MODE)
 _ = float(np.asarray(jax.tree_util.tree_leaves(params)[0]).reshape(-1)[0])
-print("init done", flush=True)
+print(f"init done (batch={BATCH}, lm={LM_MODE})", flush=True)
 
 real_dec = tokenizer.decoder_apply_streaming
 real_enc = tokenizer.encoder_apply_streaming
@@ -51,19 +59,24 @@ def run(tag, dec_fn, enc_fn, ddpm_steps=5):
                              ddpm_steps=ddpm_steps,
                              algorithm_type="sde-dpmsolver++",
                              force_diffusion=True)
-    eng = G.Engine(params, cfg, gen, max_steps=128, batch=1, prompt_len=64,
+    eng = G.Engine(params, cfg, gen, max_steps=192, batch=BATCH, prompt_len=64,
                    dtype=jnp.bfloat16)
-    ids = np.zeros((1, 64), np.int32)
-    mask = np.ones((1, 64), np.int32)
-    sim = np.zeros((1, 64), bool)
+    ids = np.zeros((BATCH, 64), np.int32)
+    mask = np.ones((BATCH, 64), np.int32)
+    sim = np.zeros((BATCH, 64), bool)
     state, _ = eng.prefill(ids, mask, sim)
     state, _ = eng.decode_chunk(state, 64)
-    _ = int(np.asarray(state.frames).sum())
+    f0 = int(np.asarray(state.frames).sum())
     t0 = time.perf_counter()
     state, _ = eng.decode_chunk(state, 64)
-    _ = int(np.asarray(state.frames).sum())
+    f1 = int(np.asarray(state.frames).sum())
     dt = time.perf_counter() - t0
-    print(json.dumps({"variant": tag, "ms_per_frame": round(dt / 64 * 1000, 3)}),
+    frames = f1 - f0
+    print(json.dumps({"variant": tag, "batch": BATCH,
+                      "ms_per_step": round(dt / 64 * 1000, 3),
+                      "ms_per_stream_frame": round(dt / frames * BATCH * 1000, 3)
+                      if frames else None,
+                      "audiosec_per_s": round(frames * hop / 24000.0 / dt, 2)}),
           flush=True)
     tokenizer.decoder_apply_streaming = real_dec
     tokenizer.encoder_apply_streaming = real_enc

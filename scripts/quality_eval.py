@@ -34,14 +34,19 @@ def _load_voice(path, sr=24000):
 
 
 def _build_tts(args, quantize=None, kv_dtype="model", algorithm_type="dpmsolver++",
-               ddpm_steps=None):
+               ddpm_steps=None, quantize_tokenizer=None, int4_group_size=None):
     import jax.numpy as jnp
     from vibevoice_tpu.pipeline import VibeVoiceTTS
 
     kw = dict(dtype=jnp.bfloat16 if args.model_path else jnp.float32,
               ddpm_steps=ddpm_steps or args.ddpm_steps,
               cfg_scale=args.cfg_scale,
-              quantize=quantize, kv_dtype=kv_dtype, algorithm_type=algorithm_type)
+              quantize=quantize, kv_dtype=kv_dtype, algorithm_type=algorithm_type,
+              quantize_tokenizer=quantize_tokenizer,
+              # tiny-config stacks have dims << 512; quantize them anyway so
+              # the random-weight plumbing check exercises the quantized path
+              tokenizer_min_dim=512 if args.model_path else 1,
+              int4_group_size=int4_group_size)
     if args.model_path:
         return VibeVoiceTTS.from_pretrained(args.model_path, **kw)
     from vibevoice_tpu.configs import tiny_config
@@ -69,9 +74,15 @@ def _build_tts(args, quantize=None, kv_dtype="model", algorithm_type="dpmsolver+
 CANDIDATES = {
     "int8": dict(quantize="int8"),
     "int4": dict(quantize="int4"),
-    "int4-g128": dict(quantize="int4"),  # group_size set below
+    "int4-g128": dict(quantize="int4", int4_group_size="auto128"),
+    "int4-g64": dict(quantize="int4", int4_group_size="auto64"),
     "int8kv": dict(quantize="int8", kv_dtype="int8"),
     "sde5": dict(algorithm_type="sde-dpmsolver++", ddpm_steps=5),
+    # σ-VAE stack quantization (vocoder + semantic re-encode FFNs)
+    "tok8": dict(quantize_tokenizer="int8"),
+    "tok4": dict(quantize_tokenizer="int4"),
+    "int4+tok8": dict(quantize="int4", quantize_tokenizer="int8"),
+    "int4+tok4": dict(quantize="int4", quantize_tokenizer="int4"),
 }
 
 
@@ -160,15 +171,12 @@ def main():
     for cand in args.candidates:
         kw = dict(CANDIDATES[cand])
         ddpm = kw.pop("ddpm_steps", None)
-        tts = _build_tts(args, ddpm_steps=ddpm, **kw)
-        if cand == "int4-g128":
-            # rebuild with group scales
-            from vibevoice_tpu.pipeline import VibeVoiceTTS
-            tts = _build_tts(args)  # placeholder to get params/cfg/tokenizer
-            gs = 128 if args.model_path else 32  # tiny-config hidden dims are small
-            tts = VibeVoiceTTS(tts.params, tts.cfg, tts.tokenizer, dtype=tts.dtype,
-                               ddpm_steps=args.ddpm_steps, cfg_scale=args.cfg_scale,
-                               quantize="int4", int4_group_size=gs)
+        gs = kw.pop("int4_group_size", None)
+        if gs == "auto128":
+            gs = 128 if args.model_path else 32  # tiny hidden dims are small
+        elif gs == "auto64":
+            gs = 64 if args.model_path else 16
+        tts = _build_tts(args, ddpm_steps=ddpm, int4_group_size=gs, **kw)
         for name, script in zip(names, scripts):
             audio, metrics = gen(tts, script)
             assert audio is not None, f"{cand} produced no audio for {name}"

@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--prompt_buckets", type=int, nargs="+", default=None)
     ap.add_argument("--max_new_tokens", type=int, nargs="+", default=[256])
     ap.add_argument("--quantize", default=None, choices=[None, "int8", "int4"])
+    ap.add_argument("--quantize_tokenizer", default=None,
+                    choices=[None, "int8", "int4"],
+                    help="σ-VAE stack quantization (vocoder + semantic encoder)")
     ap.add_argument("--kv_dtype", default="model", choices=["model", "int8"])
     ap.add_argument("--ddpm_steps", type=int, default=5)
     ap.add_argument("--algorithm_type", default="sde-dpmsolver++")
@@ -43,6 +46,7 @@ def main() -> None:
 
     kw = dict(dtype=jnp.bfloat16, ddpm_steps=args.ddpm_steps,
               algorithm_type=args.algorithm_type, quantize=args.quantize,
+              quantize_tokenizer=args.quantize_tokenizer,
               kv_dtype=args.kv_dtype)
     t0 = time.perf_counter()
     if args.model_path:

@@ -18,40 +18,51 @@ AC = CFG.acoustic_tokenizer
 SE = CFG.semantic_tokenizer
 
 
+def _activate(p):
+    """Init weights are tiny and layer-scale starts at 1e-6, which would hide
+    quantization error entirely (the FFN contribution would be ~0 and any
+    closeness assertion trivially true).  Rescale weights and set layer
+    scales to O(1) so the quantized matmuls actually shape the output."""
+    p = jax.tree_util.tree_map(lambda w: w * 10.0, p)
+    for blocks in p["stages"]:
+        for bp in blocks:
+            bp["gamma"] = jnp.ones_like(bp["gamma"])
+            bp["ffn_gamma"] = jnp.ones_like(bp["ffn_gamma"])
+    return p
+
+
 def _decoder_params(seed=0):
-    p = tok.init_decoder(jax.random.PRNGKey(seed), AC)
-    # init std is tiny; rescale so quantization error is visible relative to
-    # signal (matches trained-weight magnitudes better than the init)
-    return jax.tree_util.tree_map(lambda w: w * 10.0, p)
+    return _activate(tok.init_decoder(jax.random.PRNGKey(seed), AC))
 
 
 def _encoder_params(seed=1):
-    p = tok.init_encoder(jax.random.PRNGKey(seed), SE)
-    return jax.tree_util.tree_map(lambda w: w * 10.0, p)
+    return _activate(tok.init_encoder(jax.random.PRNGKey(seed), SE))
 
 
 @pytest.mark.parametrize("mode", ["int8", "int4"])
 def test_quantized_decoder_close_to_fp(mode):
     p = _decoder_params()
-    pq = qz.quantize_tokenizer_stack(p, mode=mode, min_dim=1)
+    pq = qz.quantize_tokenizer_stack(p, mode=mode, min_dim=1, conv_min_params=1)
     z = jax.random.normal(jax.random.PRNGKey(2), (2, 3, AC.vae_dim))
     y_fp = tok.decoder_apply(p, AC, z)
     y_q = tok.decoder_apply(pq, AC, z)
     assert y_q.shape == y_fp.shape
     corr = float(jnp.corrcoef(y_fp.reshape(-1), y_q.reshape(-1))[0, 1])
-    assert corr > (0.999 if mode == "int8" else 0.99)
+    # int4 at the tiny test dims (K down to 4) is the worst case by far —
+    # relative error shrinks ~1/sqrt(K) and real stacks only quantize K>=512
+    assert corr > (0.999 if mode == "int8" else 0.9)
 
 
 @pytest.mark.parametrize("mode", ["int8", "int4"])
 def test_quantized_encoder_close_to_fp(mode):
     p = _encoder_params()
-    pq = qz.quantize_tokenizer_stack(p, mode=mode, min_dim=1)
+    pq = qz.quantize_tokenizer_stack(p, mode=mode, min_dim=1, conv_min_params=1)
     hop = CFG.speech_compress_ratio
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 2 * hop, 1)) * 0.1
     y_fp = tok.encoder_apply(p, SE, x)
     y_q = tok.encoder_apply(pq, SE, x)
     corr = float(jnp.corrcoef(y_fp.reshape(-1), y_q.reshape(-1))[0, 1])
-    assert corr > (0.999 if mode == "int8" else 0.99)
+    assert corr > (0.999 if mode == "int8" else 0.9)
 
 
 def test_min_dim_threshold_skips_small_stages():
@@ -74,7 +85,7 @@ def test_quantized_streaming_matches_batch(mode):
     non-streaming apply on the concatenated input (same invariant the bf16
     path pins in test_tokenizer.py)."""
     p = _decoder_params()
-    pq = qz.quantize_tokenizer_stack(p, mode=mode, min_dim=1)
+    pq = qz.quantize_tokenizer_stack(p, mode=mode, min_dim=1, conv_min_params=1)
     z = jax.random.normal(jax.random.PRNGKey(4), (1, 4, AC.vae_dim))
     full = tok.decoder_apply(pq, AC, z)
     states = tok.decoder_state_init(AC, 1)
@@ -88,6 +99,50 @@ def test_quantized_streaming_matches_batch(mode):
     # differences
     np.testing.assert_allclose(np.asarray(full), np.asarray(stream),
                                atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_quantized_encoder_streaming_matches_batch(mode):
+    """Chunked streaming encode (the engine's per-frame semantic re-encode
+    path, including the quantized window-matmul downsample convs) must agree
+    with the non-streaming apply."""
+    p = _encoder_params()
+    pq = qz.quantize_tokenizer_stack(p, mode=mode, min_dim=1, conv_min_params=1)
+    hop = CFG.speech_compress_ratio
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 3 * hop, 1)) * 0.1
+    full = tok.encoder_apply(pq, SE, x)
+    states = tok.encoder_state_init(SE, 2)
+    outs = []
+    for i in range(3):
+        y, states = tok.encoder_apply_streaming(pq, SE, x[:, i * hop:(i + 1) * hop], states)
+        outs.append(y)
+    stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stream),
+                               atol=5e-5, rtol=1e-3)
+
+
+def test_quantized_conv_ops_close_to_fp():
+    """The int8 conv paths in isolation: window-matmul downsample conv and
+    in-dot dequant transposed conv vs their fp references."""
+    from vibevoice_tpu.ops import conv as C
+    key = jax.random.PRNGKey(6)
+    r, cin, cout = 4, 16, 32
+    w = jax.random.normal(key, (2 * r, cin, cout)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 3 * r, cin))
+    b = jnp.zeros((cout,))
+    y_fp = C.causal_conv1d(x, w, b, stride=r)
+    y_q = C.causal_conv1d(x, qz.quantize_conv_weight(w), b, stride=r)
+    assert y_q.shape == y_fp.shape
+    np.testing.assert_allclose(np.asarray(y_fp), np.asarray(y_q), atol=0.05, rtol=0.1)
+    # streaming agrees with non-streaming on the quantized weight
+    st = C.conv_state_init(2, cin, 2 * r, r)
+    y_s, _ = C.causal_conv1d_streaming(x, st, qz.quantize_conv_weight(w), b, stride=r)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_s), atol=1e-5, rtol=1e-4)
+
+    wt = jax.random.normal(key, (cin, 2 * r, cout)) * 0.1
+    y_fp = C.causal_conv_transpose1d(x, wt, b, stride=r)
+    y_q = C.causal_conv_transpose1d(x, qz.quantize_convt_weight(wt), b, stride=r)
+    np.testing.assert_allclose(np.asarray(y_fp), np.asarray(y_q), atol=0.05, rtol=0.1)
 
 
 def test_quantize_model_tokenizer_mode():
@@ -122,7 +177,7 @@ def test_engine_runs_with_quantized_tokenizer(mode):
     params["speech_scaling_factor"] = jnp.asarray(1.0)
     params["speech_bias_factor"] = jnp.asarray(0.0)
     pq = dict(params)
-    pq = qz.quantize_tokenizers(pq, mode=mode, min_dim=1)
+    pq = qz.quantize_tokenizers(pq, mode=mode, min_dim=1, conv_min_params=1)
 
     gen = G.GenerationConfig(
         speech_start_id=256, speech_end_id=257, speech_diffusion_id=258,

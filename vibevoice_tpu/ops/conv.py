@@ -32,6 +32,37 @@ def causal_pad_amount(kernel_size: int, stride: int = 1, dilation: int = 1) -> i
     return (kernel_size - 1) * dilation - (stride - 1)
 
 
+def _conv_windows(full: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """[B, (F+1)*stride, C] -> [B, F, 2*stride*C] sliding k=2s windows.
+
+    For the k == 2*stride downsampling convs, window i covers exactly
+    stride-blocks i and i+1 — two reshaped block views concatenated, no
+    gather.  Row-major (time, channel) flattening matches a [K, Cin, Cout]
+    conv weight flattened to [K*Cin, Cout]."""
+    b, tt, c = full.shape
+    r = stride
+    blocks = full.reshape(b, tt // r, r * c)
+    return jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=-1)
+
+
+def _causal_conv1d_q(x, weight, bias, stride: int):
+    """int8 path for a quantized k==2*stride downsampling conv: unfold to
+    stride-block windows and run ONE int8 matmul (`quantize.mm`), so the
+    weight streams from HBM at int8 bytes instead of being dequantized into
+    a materialized bf16 convolution operand."""
+    from ..utils.quantize import mm
+    b, t, c = x.shape
+    r = stride
+    assert weight["qint8"].shape[0] == 2 * r * c, (
+        "quantized conv expects k == 2*stride packing")
+    f = -(-t // r)
+    full = jnp.pad(x, ((0, 0), (r, f * r - t), (0, 0)))
+    y = mm(_conv_windows(full, r), weight)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def causal_conv1d(
     x: jnp.ndarray,
     weight: jnp.ndarray,
@@ -44,9 +75,13 @@ def causal_conv1d(
 
     Matches the reference non-streaming path (left pad `(k-1)d-(s-1)`, right
     pad to complete frames — ref SConv1d._forward_non_streaming :384-418).
+    `weight` may be an int8-quantized dict (k==2*stride convs only).
     """
     import math
 
+    if isinstance(weight, dict):
+        assert dilation == 1 and groups == 1
+        return _causal_conv1d_q(x, weight, bias, stride)
     k = weight.shape[0]
     pad_left = causal_pad_amount(k, stride, dilation)
     t = x.shape[1]
@@ -100,6 +135,14 @@ def causal_conv1d_streaming(
     """
     ctx = state.buf.shape[1]
     full = jnp.concatenate([state.buf, x], axis=1) if ctx > 0 else x
+    if isinstance(weight, dict):
+        # k == 2*stride => ctx == stride, so `full` is (F+1) whole blocks
+        from ..utils.quantize import mm
+        assert dilation == 1 and groups == 1 and ctx == stride
+        y = mm(_conv_windows(full, stride), weight)
+        if bias is not None:
+            y = y + bias
+        return y, ConvState(buf=full[:, full.shape[1] - ctx:, :])
     y = lax.conv_general_dilated(
         full,
         weight,
@@ -116,6 +159,24 @@ def causal_conv1d_streaming(
     return y, ConvState(buf=new_buf)
 
 
+def _convt_project(x: jnp.ndarray, weight) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """The transposed conv's dense projection: [B, T, Cin] -> [B, T, K*Cout].
+
+    Plain weights run one einsum; int8-quantized dicts ({"qint8" [Cin,K,Cout],
+    "scale" [K,Cout]}) convert in-register inside the dot (int8 HBM bytes) and
+    apply the per-(tap, channel) scales to the output."""
+    if isinstance(weight, dict):
+        q = weight["qint8"]
+        _, k, cout = q.shape
+        y = jnp.einsum("btc,cko->btko", x, q.astype(x.dtype),
+                       preferred_element_type=x.dtype)
+        y = y * weight["scale"].astype(x.dtype)
+        return y, (k, cout)
+    _, k, cout = weight.shape
+    return jnp.einsum("btc,cko->btko", x, weight,
+                      preferred_element_type=x.dtype), (k, cout)
+
+
 def causal_conv_transpose1d(
     x: jnp.ndarray,
     weight: jnp.ndarray,
@@ -130,13 +191,11 @@ def causal_conv_transpose1d(
     matmul, then overlap-add of output frames spaced `stride` apart.  Requires
     `K % stride == 0` (the model always uses K = 2*stride).
     """
-    cin, k, cout = weight.shape
+    y, (k, cout) = _convt_project(x, weight)
     b, t, _ = x.shape
     assert k % stride == 0, "kernel must be a multiple of stride"
     g = k // stride  # frames each input sample touches
     # [B, T, K*Cout] -> [B, T, g, stride, Cout]
-    y = jnp.einsum("btc,cko->btko", x, weight,
-                   preferred_element_type=x.dtype)
     y = y.reshape(b, t, g, stride, cout)
     # overlap-add: chunk g of input frame t lands in output frame t+g.
     out = jnp.zeros((b, t + g - 1, stride, cout), dtype=x.dtype)
@@ -177,11 +236,9 @@ def causal_conv_transpose1d_streaming(
     reference's recompute-from-history streaming (ref :478-549) but does no
     redundant compute.
     """
-    cin, k, cout = weight.shape
+    y, (k, cout) = _convt_project(x, weight)
     b, t, _ = x.shape
     g = k // stride
-    y = jnp.einsum("btc,cko->btko", x, weight,
-                   preferred_element_type=x.dtype)
     y = y.reshape(b, t, g, stride, cout)
     acc = jnp.zeros((b, t + g - 1, stride, cout), dtype=x.dtype)
     for gi in range(g):

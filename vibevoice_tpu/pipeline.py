@@ -31,6 +31,7 @@ class VibeVoiceTTS:
                  algorithm_type: str = "dpmsolver++", kv_dtype: str = "model",
                  int4_group_size: Optional[int] = None,
                  quantize_tokenizer: Optional[str] = None,
+                 tokenizer_min_dim: int = 512,
                  keep_audio: bool = True,
                  processor: Optional[VibeVoiceProcessor] = None):
         self.do_sample = do_sample
@@ -51,13 +52,15 @@ class VibeVoiceTTS:
             from .utils.quantize import quantize_model
             params = quantize_model(params, cfg.decoder.tie_word_embeddings,
                                     mode=quantize, group_size=int4_group_size,
-                                    tokenizer_mode=quantize_tokenizer)
+                                    tokenizer_mode=quantize_tokenizer,
+                                    tokenizer_min_dim=tokenizer_min_dim)
         elif quantize_tokenizer is not None:
             from .utils.quantize import quantize_tokenizers
             if quantize_tokenizer not in ("int8", "int4"):
                 raise ValueError(f"quantize_tokenizer must be 'int8' or 'int4', "
                                  f"got {quantize_tokenizer}")
-            params = quantize_tokenizers(params, mode=quantize_tokenizer)
+            params = quantize_tokenizers(params, mode=quantize_tokenizer,
+                                         min_dim=tokenizer_min_dim)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

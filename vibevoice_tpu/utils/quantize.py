@@ -156,9 +156,25 @@ def quantize_diffusion_head(head_params: Dict[str, Any], mode: str = "int8",
     return out
 
 
+def quantize_conv_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Downsampling conv [K, Cin, Cout] -> int8 {"qint8" [K*Cin, Cout],
+    "scale" [Cout]} for the window-matmul path (`ops.conv._causal_conv1d_q`);
+    requires the model's k == 2*stride convention."""
+    return quantize_weight(w.reshape(-1, w.shape[-1]))
+
+
+def quantize_convt_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Transposed conv [Cin, K, Cout] -> int8 3D + per-(tap, channel) scales
+    [K, Cout] (each (k, o) pair is an independent output column of the dense
+    projection — see `ops.conv._convt_project`)."""
+    q, scale = _quantize_weight_impl(jnp.asarray(w), 0)
+    return {"qint8": q, "scale": scale}
+
+
 def quantize_tokenizer_stack(stack: Dict[str, Any], mode: str = "int8",
                              min_dim: int = 512,
-                             group_size: Optional[int] = None) -> Dict[str, Any]:
+                             group_size: Optional[int] = None,
+                             conv_min_params: int = 2_000_000) -> Dict[str, Any]:
     """Quantize the Block1D FFN weights of one tokenizer encoder/decoder stack.
 
     The decode hot path re-reads the acoustic DECODER and semantic ENCODER
@@ -169,12 +185,13 @@ def quantize_tokenizer_stack(stack: Dict[str, Any], mode: str = "int8",
     weight bandwidth, not dispatch (measured: vocoder 1.48 ms + semantic
     re-encode 1.09 ms of the 4.64 ms int4 frame ≈ the stacks' HBM read time).
 
-    Only FFN matmul weights (ffn1/ffn2 — >90% of stack bytes) are quantized,
-    and only in stages with dim >= `min_dim`: the early large-T stages carry
-    negligible bytes, so leaving them exact costs nothing and concentrates
-    quantization where the arithmetic is a plain channel-wise matmul.  Norms,
-    depthwise mixers, layer-scales, biases and all convs stay in the model
-    dtype.
+    Quantized: FFN matmul weights (ffn1/ffn2 — >90% of stack bytes) in
+    stages with dim >= `min_dim`, plus the large stage-transition convs
+    (>= `conv_min_params` params, always int8 — the deepest two are ~67 MB
+    bf16 each).  The early large-T stages carry negligible bytes, so leaving
+    them exact costs nothing and concentrates quantization where the
+    arithmetic is a plain channel-wise matmul.  Norms, depthwise mixers,
+    layer-scales, biases and the small convs stay in the model dtype.
     """
     out = dict(stack)
     stages = []
@@ -184,21 +201,47 @@ def quantize_tokenizer_stack(stack: Dict[str, Any], mode: str = "int8",
             d = bp["norm_w"].shape[0]
             if d >= min_dim and not isinstance(bp["ffn1"]["w"], dict):
                 nb = dict(bp)
-                nb["ffn1"] = {"w": _quant(bp["ffn1"]["w"], mode, group_size),
+
+                def _gs(w):  # group scales only where the group divides K
+                    if group_size and w.shape[0] % group_size == 0:
+                        return group_size
+                    return None
+
+                nb["ffn1"] = {"w": _quant(bp["ffn1"]["w"], mode, _gs(bp["ffn1"]["w"])),
                               "b": bp["ffn1"]["b"]}
-                nb["ffn2"] = {"w": _quant(bp["ffn2"]["w"], mode, group_size),
+                nb["ffn2"] = {"w": _quant(bp["ffn2"]["w"], mode, _gs(bp["ffn2"]["w"])),
                               "b": bp["ffn2"]["b"]}
                 nbs.append(nb)
             else:
                 nbs.append(bp)
         stages.append(nbs)
     out["stages"] = stages
+
+    # stage-transition convs: the two deepest carry ~67 MB bf16 each per
+    # frame (k=2r at D 1024<->2048).  Always int8 (the int4 kernel's per-call
+    # overhead loses at these shapes, as measured for the diffusion head);
+    # entries below `conv_min_params` stay exact.
+    if "down" in out:  # encoder: down[0] is the k=7 stem, rest are k=2r
+        out["down"] = [
+            dict(dp, w=quantize_conv_weight(dp["w"]))
+            if (i > 0 and not isinstance(dp["w"], dict)
+                and dp["w"].size >= conv_min_params and dp["w"].shape[0] % 2 == 0)
+            else dp
+            for i, dp in enumerate(stack["down"])]
+    if "up" in out:  # decoder: up[0] is a plain k=7 conv, rest transposed
+        out["up"] = [
+            dict(up, w=quantize_convt_weight(up["w"]))
+            if (i > 0 and not isinstance(up["w"], dict)
+                and up["w"].size >= conv_min_params)
+            else up
+            for i, up in enumerate(stack["up"])]
     return out
 
 
 def quantize_tokenizers(params: Dict[str, Any], mode: str = "int8",
                         min_dim: int = 512,
-                        group_size: Optional[int] = None) -> Dict[str, Any]:
+                        group_size: Optional[int] = None,
+                        conv_min_params: int = 2_000_000) -> Dict[str, Any]:
     """Quantize the two σ-VAE stacks on the decode hot path: the acoustic
     decoder (vocoder) and the semantic encoder (frame re-encode).  The
     acoustic ENCODER only runs at prefill (voice prompts), where its weight
@@ -206,9 +249,11 @@ def quantize_tokenizers(params: Dict[str, Any], mode: str = "int8",
     """
     out = dict(params)
     out["acoustic_decoder"] = quantize_tokenizer_stack(
-        params["acoustic_decoder"], mode=mode, min_dim=min_dim, group_size=group_size)
+        params["acoustic_decoder"], mode=mode, min_dim=min_dim,
+        group_size=group_size, conv_min_params=conv_min_params)
     out["semantic_encoder"] = quantize_tokenizer_stack(
-        params["semantic_encoder"], mode=mode, min_dim=min_dim, group_size=group_size)
+        params["semantic_encoder"], mode=mode, min_dim=min_dim,
+        group_size=group_size, conv_min_params=conv_min_params)
     return out
 
 
