@@ -120,8 +120,9 @@ def main():
         "vs_baseline": round(rtf, 4),
         "config": "bf16, 5-step sde-dpmsolver++ (reference gradio production config)",
         "opt_in_modes_measured_this_round": {
-            "int8 weight-only": 26.8, "int4 LM weights (Pallas dequant-matmul)": 28.3,
-            "batch8 int8 audio-sec/s": 158.4},
+            "int8 LM": 26.8, "int4 LM + int8 sigma-VAE stacks": 33.8,
+            "int8 LM + int8 sigma-VAE": 32.7,
+            "batch8 int8 LM + int8 sigma-VAE audio-sec/s": 171.1},
     }))
 
 

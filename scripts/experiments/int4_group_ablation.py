@@ -59,18 +59,24 @@ def main():
             q = quantize_int4(w, group_size=gs)
             y = int4_matmul(x, q["qint4"], q["scale4"]).astype(jnp.float32)
             rel = float(jnp.linalg.norm(y - y_ref)) / y_norm
-            # kernel timing: thread the output back into the input region so
-            # the backend cannot elide repeated identical dispatches
-            reps = 50
-            xx = x
-            yy = int4_matmul(xx, q["qint4"], q["scale4"])  # warm/compile
-            _ = float(jnp.asarray(yy).astype(jnp.float32).sum())
+            # kernel timing: ONE jitted program of `reps` data-chained kernel
+            # calls (eager per-op dispatch over the tunnel costs ~100 ms/op
+            # and the backend elides identical dispatches — CLAUDE.md)
+            reps = 100
+
+            @jax.jit
+            def chain(xx, packed, scale):
+                def body(carry, _):
+                    yy = int4_matmul(carry, packed, scale)
+                    carry = carry + (yy.sum(axis=-1, keepdims=True)
+                                     * jnp.bfloat16(1e-9)).astype(carry.dtype)
+                    return carry, ()
+                out, _ = jax.lax.scan(body, xx, None, length=reps)
+                return out.astype(jnp.float32).sum()
+
+            _ = float(chain(x, q["qint4"], q["scale4"]))  # compile+warm
             t0 = time.perf_counter()
-            for _i in range(reps):
-                pert = (yy[:, :1].astype(jnp.bfloat16) * 1e-6)
-                xx = xx + jnp.pad(pert, ((0, 0), (0, k - 1)))
-                yy = int4_matmul(xx, q["qint4"], q["scale4"])
-            _ = float(jnp.asarray(yy).astype(jnp.float32).sum())
+            _ = float(chain(x, q["qint4"], q["scale4"]))
             dt = (time.perf_counter() - t0) / reps * 1e6
             results.append({"shape": name, "scales": gname,
                             "rel_out_err": round(rel, 5),

@@ -82,8 +82,13 @@ def run(tag, lm_mode, tok_mode):
     gc.collect()
 
 
-run("int4lm+bf16tok (baseline)", "int4", None)
-run("int4lm+int8tok", "int4", "int8")
-run("int4lm+int4tok", "int4", "int4")
-run("int8lm+int8tok", "int8", "int8")
-run("bf16lm+int8tok", None, "int8")
+VARIANTS = {
+    "base": ("int4lm+bf16tok (baseline)", "int4", None),
+    "i4i8": ("int4lm+int8tok", "int4", "int8"),
+    "i4i4": ("int4lm+int4tok", "int4", "int4"),
+    "i8i8": ("int8lm+int8tok", "int8", "int8"),
+    "bfi8": ("bf16lm+int8tok", None, "int8"),
+}
+names = sys.argv[2:] or list(VARIANTS)
+for nm in names:
+    run(*VARIANTS[nm])
