@@ -77,6 +77,11 @@ params["speech_scaling_factor"] = jnp.asarray(1.0)
 params["speech_bias_factor"] = jnp.asarray(0.0)
 params["lm"]["layers"] = layers
 params["diffusion_head"] = jax.jit(quantize_diffusion_head)(params["diffusion_head"])
+# TOK=int8: quantize the per-frame sigma-VAE stacks too (r3 — halves their
+# per-frame reads AND frees ~0.65 GB of the 16 GB chip)
+if os.environ.get("TOK"):
+    from vibevoice_tpu.utils.quantize import quantize_tokenizers
+    params = quantize_tokenizers(params, mode=os.environ["TOK"])
 # int8 embedding table (per-row scales) — memory lever for the 16 GB chip
 params["lm"]["embed"] = jax.jit(lambda e: quantize_weight(e, axis=1))(params["lm"]["embed"])
 # untied 7B lm_head: int8
