@@ -46,7 +46,7 @@ mask = np.ones((BATCH, 64), np.int32)
 sim = np.zeros((BATCH, 64), bool)
 
 
-def run(tag, lm_mode, tok_mode):
+def run(tag, lm_mode, tok_mode, eng_kw=None):
     t0 = time.perf_counter()
     if lm_mode is None and tok_mode is None:
         params = base
@@ -59,7 +59,7 @@ def run(tag, lm_mode, tok_mode):
     print(f"# {tag}: quantize {time.perf_counter()-t0:.1f}s", flush=True)
 
     eng = G.Engine(params, cfg, gen, max_steps=192, batch=BATCH,
-                   prompt_len=64, dtype=jnp.bfloat16)
+                   prompt_len=64, dtype=jnp.bfloat16, **(eng_kw or {}))
     t0 = time.perf_counter()
     state, _ = eng.prefill(ids, mask, sim)
     _ = int(np.asarray(state.frames).sum())
@@ -88,6 +88,11 @@ VARIANTS = {
     "i4i4": ("int4lm+int4tok", "int4", "int4"),
     "i8i8": ("int8lm+int8tok", "int8", "int8"),
     "bfi8": ("bf16lm+int8tok", None, "int8"),
+    # + tiled large-T stage kernel (ops/fused_stage.py)
+    "i4i8fs": ("int4lm+int8tok+fusedstages", "int4", "int8",
+               {"use_fused_stages": True}),
+    "i8i8fs": ("int8lm+int8tok+fusedstages", "int8", "int8",
+               {"use_fused_stages": True}),
 }
 names = sys.argv[2:] or list(VARIANTS)
 for nm in names:

@@ -1,0 +1,153 @@
+"""Tiled large-T fused stage kernel (ops/fused_stage.py) vs the per-op path
+(interpret mode on CPU), plus the tokenizer-level streaming integration."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.configs import AcousticTokenizerConfig, tiny_config
+from vibevoice_tpu.models import tokenizer as tok
+from vibevoice_tpu.ops import fused_stage as fs
+from vibevoice_tpu.ops.conv import ConvState
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fs.pl, "pallas_call", interp)
+
+
+def _blocks(key, d, n, cfg):
+    blocks = [tok._block_init(k, d, cfg, jnp.float32)
+              for k in jax.random.split(key, n)]
+    for i, bp in enumerate(blocks):
+        kk = jax.random.fold_in(key, 100 + i)
+        bp["gamma"] = jax.random.normal(kk, (d,)) * 0.1
+        bp["ffn_gamma"] = jax.random.normal(jax.random.fold_in(kk, 1), (d,)) * 0.1
+    return blocks
+
+
+def _plain_stage(blocks, cfg, x, ctx):
+    """Per-op stage apply with injected streaming contexts."""
+    states = [ConvState(buf=ctx[:, j]) for j in range(len(blocks))]
+    s = list(states)
+    h = x
+    for bp in blocks:
+        h = tok._block_apply(bp, h, cfg.layernorm_eps, h.shape[-1], s)
+    new_ctx = jnp.stack([st.buf for st in s], axis=1)
+    return h, new_ctx
+
+
+@pytest.mark.parametrize("b,t,d,n", [(1, 16, 32, 3), (2, 24, 16, 2), (2, 800, 8, 1)])
+def test_fused_stage_matches_blocks(interpret_pallas, b, t, d, n):
+    cfg = AcousticTokenizerConfig()
+    key = jax.random.PRNGKey(0)
+    blocks = _blocks(key, d, n, cfg)
+    x = jax.random.normal(jax.random.fold_in(key, 7), (b, t, d)) * 0.5
+    ctx = jax.random.normal(jax.random.fold_in(key, 8), (b, n, 6, d)) * 0.5
+
+    packed = fs.pack_stage(blocks, dtype=jnp.float32)
+    y, new_ctx = fs.fused_stage_chain(packed, x, ctx, eps=cfg.layernorm_eps)
+    y_ref, ctx_ref = _plain_stage(blocks, cfg, x, ctx)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(new_ctx), np.asarray(ctx_ref),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_fused_stage_tiling_carries_context(interpret_pallas):
+    """T spanning multiple tiles must equal the single-tile result (the conv
+    carry crosses tile boundaries through the scratch)."""
+    cfg = AcousticTokenizerConfig()
+    key = jax.random.PRNGKey(1)
+    d, n, t = 8, 2, 1600  # tiles at 400 -> 4 grid steps
+    blocks = _blocks(key, d, n, cfg)
+    x = jax.random.normal(jax.random.fold_in(key, 7), (1, t, d)) * 0.5
+    ctx = jnp.zeros((1, n, 6, d))
+    packed = fs.pack_stage(blocks, dtype=jnp.float32)
+    y, _ = fs.fused_stage_chain(packed, x, ctx, eps=cfg.layernorm_eps)
+    y_ref, _ = _plain_stage(blocks, cfg, x, ctx)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_streaming_fused_stages_match_plain(interpret_pallas):
+    """decoder/encoder_apply_streaming_fused with large packs must match the
+    plain streaming path across multiple chunks (state round-trips through
+    the kernel ctx outputs)."""
+    cfg = tiny_config(vocab_size=320)
+    ac, se = cfg.acoustic_tokenizer, cfg.semantic_tokenizer
+    hop = cfg.speech_compress_ratio
+    key = jax.random.PRNGKey(2)
+
+    dp = tok.init_decoder(key, ac, dtype=jnp.float32)
+    for blocks in dp["stages"]:
+        for bp in blocks:
+            bp["gamma"] = jnp.ones_like(bp["gamma"])
+            bp["ffn_gamma"] = jnp.ones_like(bp["ffn_gamma"])
+    packs = tok.pack_decoder_stages_large(dp, ac, t_min=4)
+    assert packs, "tiny config must produce at least one large pack"
+    z = jax.random.normal(jax.random.fold_in(key, 3), (2, 3, ac.vae_dim))
+    s_plain = tok.decoder_state_init(ac, 2)
+    s_fused = tok.decoder_state_init(ac, 2)
+    for i in range(3):
+        y_p, s_plain = tok.decoder_apply_streaming(dp, ac, z[:, i:i + 1], s_plain)
+        y_f, s_fused = tok.decoder_apply_streaming_fused(
+            dp, ac, z[:, i:i + 1], s_fused, large_packs=packs)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_f),
+                                   atol=2e-4, rtol=2e-3)
+
+    ep = tok.init_encoder(jax.random.fold_in(key, 9), se, dtype=jnp.float32)
+    for blocks in ep["stages"]:
+        for bp in blocks:
+            bp["gamma"] = jnp.ones_like(bp["gamma"])
+            bp["ffn_gamma"] = jnp.ones_like(bp["ffn_gamma"])
+    packs_e = tok.pack_encoder_stages_large(ep, se, chunk_t=hop, t_min=4)
+    assert packs_e
+    x = jax.random.normal(jax.random.fold_in(key, 4), (2, 2 * hop, 1)) * 0.1
+    s_plain = tok.encoder_state_init(se, 2)
+    s_fused = tok.encoder_state_init(se, 2)
+    for i in range(2):
+        y_p, s_plain = tok.encoder_apply_streaming(ep, se, x[:, i * hop:(i + 1) * hop], s_plain)
+        y_f, s_fused = tok.encoder_apply_streaming_fused(
+            ep, se, x[:, i * hop:(i + 1) * hop], s_fused, large_packs=packs_e)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_f),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_engine_fused_stages_smoke(interpret_pallas):
+    """Engine(use_fused_stages=True) end-to-end against the plain engine:
+    same tokens, close audio."""
+    from vibevoice_tpu.engine import generate as G
+    from vibevoice_tpu.models import vibevoice as V
+
+    cfg = tiny_config(vocab_size=320)
+    params = V.init_model(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    gen = G.GenerationConfig(speech_start_id=256, speech_end_id=257,
+                             speech_diffusion_id=258, eos_id=259,
+                             ddpm_steps=2, force_diffusion=True)
+    ids = np.zeros((1, 16), np.int32)
+    att = np.ones((1, 16), np.int32)
+    sim = np.zeros((1, 16), bool)
+
+    def _run(**kw):
+        if kw.get("use_fused_stages"):
+            kw["fused_stage_t_min"] = 7  # tiny config Ts are 4..16
+        eng = G.Engine(params, cfg, gen, max_steps=3, batch=1, prompt_len=16,
+                       dtype=jnp.float32, **kw)
+        state, _ = eng.prefill(ids, att, sim)
+        state, _ = eng.decode_chunk(state, 2)
+        return np.asarray(state.audio), np.asarray(state.tokens)
+
+    audio_p, tokens_p = _run()
+    audio_f, tokens_f = _run(use_fused_stages=True)
+    np.testing.assert_array_equal(tokens_p, tokens_f)
+    np.testing.assert_allclose(audio_p, audio_f, atol=2e-4, rtol=2e-3)

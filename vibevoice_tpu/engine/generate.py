@@ -164,12 +164,15 @@ class Engine:
                  use_flash_decode: Optional[bool] = None,
                  use_fused_vocoder: bool = False,
                  use_fused_semantic: bool = False,
+                 use_fused_stages: bool = False,
+                 fused_stage_t_min: int = 128,
                  keep_audio: bool = True,
                  kv_dtype: str = "model",
                  mesh=None):
         self.inject_latent_noise = inject_latent_noise
         self.use_fused_vocoder = use_fused_vocoder
         self.use_fused_semantic = use_fused_semantic
+        self.use_fused_stages = use_fused_stages
         # kv_dtype="int8": per-slot symmetric int8 KV cache (half the cache
         # memory and long-context attention reads; dequantized in-kernel)
         if kv_dtype not in ("model", "int8"):
@@ -192,6 +195,17 @@ class Engine:
             params["_semantic_packs"] = tokenizer.pack_encoder_stages(
                 params["semantic_encoder"], cfg.semantic_tokenizer,
                 chunk_t=cfg.speech_compress_ratio)
+        if use_fused_stages:
+            # tiled large-T stage kernel for BOTH stacks' early/late conv
+            # stages — the per-stream compute the r3 B=8 attribution located
+            # (composes with quantize_tokenizer: those stages stay unquantized)
+            params = dict(params)
+            params["_vocoder_packs_large"] = tokenizer.pack_decoder_stages_large(
+                params["acoustic_decoder"], cfg.acoustic_tokenizer,
+                t_min=fused_stage_t_min)
+            params["_semantic_packs_large"] = tokenizer.pack_encoder_stages_large(
+                params["semantic_encoder"], cfg.semantic_tokenizer,
+                chunk_t=cfg.speech_compress_ratio, t_min=fused_stage_t_min)
         if use_flash_prefill is None:
             # auto: long prompts with TPU-tileable head dim take the Pallas path
             use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0
@@ -331,17 +345,19 @@ class Engine:
                 p, cfg, self.solver_cfg, self.sched, h_t, h_neg, gen.cfg_scale, x_init,
                 sde_rng=sde_rng)
             scaled = vibevoice.unscale_latents(p, latent)
-            if self.use_fused_vocoder:
+            if self.use_fused_vocoder or self.use_fused_stages:
                 chunk, ac_state2 = tokenizer.decoder_apply_streaming_fused(
                     p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :],
-                    acoustic_state, p["_vocoder_packs"])
+                    acoustic_state, fused_packs=p.get("_vocoder_packs"),
+                    large_packs=p.get("_vocoder_packs_large"))
             else:
                 chunk, ac_state2 = tokenizer.decoder_apply_streaming(
                     p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :], acoustic_state)
-            if self.use_fused_semantic:
+            if self.use_fused_semantic or self.use_fused_stages:
                 sem, sem_state2 = tokenizer.encoder_apply_streaming_fused(
                     p["semantic_encoder"], cfg.semantic_tokenizer, chunk,
-                    semantic_state, p["_semantic_packs"])
+                    semantic_state, fused_packs=p.get("_semantic_packs"),
+                    large_packs=p.get("_semantic_packs_large"))
             else:
                 sem, sem_state2 = tokenizer.encoder_apply_streaming(
                     p["semantic_encoder"], cfg.semantic_tokenizer, chunk, semantic_state)

@@ -260,12 +260,48 @@ def pack_decoder_stages(params: Params, cfg: AcousticTokenizerConfig,
     return packs
 
 
+def _stage_fused_or_plain(params: Params, cfg, i: int, h: jnp.ndarray, s: list,
+                          fused_packs, large_packs) -> jnp.ndarray:
+    """Apply stage i's Block1D chain via the small-T chain kernel, the tiled
+    large-T stage kernel, or the plain op path, threading streaming states."""
+    n = len(params["stages"][i])
+    if fused_packs and i in fused_packs:
+        from ..ops import fused_blocks as fb
+        packed = fused_packs[i]
+        stage_states = [s.pop(0) for _ in range(n)]
+        ctx = jnp.stack([st.buf for st in stage_states], axis=1)
+
+        def _one(row_x, row_ctx):
+            return fb.fused_block_chain(packed, row_x, row_ctx,
+                                        eps=cfg.layernorm_eps)
+
+        h, new_ctx = jax.vmap(_one)(h, ctx)
+        for j in range(n):
+            s.append(ConvState(buf=new_ctx[:, j]))
+        return h
+    if large_packs and i in large_packs:
+        from ..ops import fused_stage as fs
+        packed = large_packs[i]
+        stage_states = [s.pop(0) for _ in range(n)]
+        ctx = jnp.stack([st.buf for st in stage_states], axis=1)  # [B, N, 6, D]
+        h, new_ctx = fs.fused_stage_chain(packed, h, ctx, eps=cfg.layernorm_eps)
+        for j in range(n):
+            s.append(ConvState(buf=new_ctx[:, j]))
+        return h
+    groups_of = (lambda d: d) if cfg.mixer_layer == "depthwise_conv" else (lambda d: 1)
+    for bp in params["stages"][i]:
+        h = _block_apply(bp, h, cfg.layernorm_eps, groups_of(h.shape[-1]), s)
+    return h
+
+
 def decoder_apply_streaming_fused(params: Params, cfg: AcousticTokenizerConfig,
-                                  z: jnp.ndarray, states, fused_packs):
-    """Streaming decode using the fused Block1D-chain kernel for small-T
-    stages (the weight-heavy front of the vocoder); identical numerics to
-    `decoder_apply_streaming`."""
-    from ..ops import fused_blocks as fb
+                                  z: jnp.ndarray, states, fused_packs=None,
+                                  large_packs=None):
+    """Streaming decode using the fused Block1D kernels — `fused_packs` maps
+    stage index -> small-T chain-kernel pack (ops/fused_blocks.py, T<=8) and
+    `large_packs` -> tiled large-T stage-kernel pack (ops/fused_stage.py);
+    identical numerics to `decoder_apply_streaming` up to fp32-vs-bf16
+    intra-block rounding."""
     depths = cfg.decoder_depths_resolved()
     strides = list(cfg.decoder_ratios)
     s = list(states)
@@ -281,24 +317,7 @@ def decoder_apply_streaming_fused(params: Params, cfg: AcousticTokenizerConfig,
             st = s.pop(0)
             h, new_st = causal_conv_transpose1d_streaming(h, st, up["w"], up["b"], stride=r)
             s.append(new_st)
-        if i in fused_packs:
-            packed = fused_packs[i]
-            # gather this stage's mixer states -> [B, N, 6, D]
-            n = depths[i]
-            stage_states = [s.pop(0) for _ in range(n)]
-            ctx = jnp.stack([st.buf for st in stage_states], axis=1)
-
-            def _one(row_x, row_ctx):
-                return fb.fused_block_chain(packed, row_x, row_ctx,
-                                            eps=cfg.layernorm_eps)
-
-            h, new_ctx = jax.vmap(_one)(h, ctx)
-            for j in range(n):
-                s.append(ConvState(buf=new_ctx[:, j]))
-        else:
-            groups_of = (lambda d: d) if cfg.mixer_layer == "depthwise_conv" else (lambda d: 1)
-            for bp in params["stages"][i]:
-                h = _block_apply(bp, h, cfg.layernorm_eps, groups_of(h.shape[-1]), s)
+        h = _stage_fused_or_plain(params, cfg, i, h, s, fused_packs, large_packs)
     if params["final_norm_w"] is not None:
         h = rms_norm(h, params["final_norm_w"], cfg.layernorm_eps)
     hp = params["head"]
@@ -313,6 +332,53 @@ def encoder_apply_streaming(params: Params, cfg, x: jnp.ndarray, states):
     s = list(states)
     y = encoder_apply(params, cfg, x, s)
     return y, s
+
+
+def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
+                              t_min: int = 128):
+    """Weight packs for the tiled large-T stage kernel (ops/fused_stage.py):
+    decoder stages whose per-frame T = prod(ratios[:i]) >= t_min.  These
+    stages carry negligible weight bytes but, at batch, most of the σ-VAE's
+    per-stream compute (r3 stage ablation).  Skips stages whose FFNs are
+    quantized (large-T dims sit below the quantization min_dim by default,
+    so the packs compose with quantize_tokenizer)."""
+    if cfg.mixer_layer != "depthwise_conv":
+        return {}
+    from ..ops import fused_stage as fs
+    depths = cfg.decoder_depths_resolved()
+    strides = list(cfg.decoder_ratios)
+    packs = {}
+    t = 1
+    for i in range(len(depths)):
+        if i > 0:
+            t *= strides[i - 1]
+        # t > 6: the kernel's cross-tile conv carry needs a full 6-row context
+        # inside one tile
+        if (t >= max(t_min, 7) and depths[i] > 0
+                and not isinstance(params["stages"][i][0]["ffn1"]["w"], dict)):
+            dtype = params["stages"][i][0]["ffn1"]["w"].dtype
+            packs[i] = fs.pack_stage(params["stages"][i], dtype=dtype)
+    return packs
+
+
+def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
+                              t_min: int = 128):
+    """Mirror of `pack_decoder_stages_large` for the semantic re-encode:
+    encoder stage i runs at T = chunk_t / prod(strides[:i+1])."""
+    if cfg.mixer_layer != "depthwise_conv":
+        return {}
+    from ..ops import fused_stage as fs
+    depths = cfg.encoder_depths
+    strides = [1] + list(reversed(cfg.encoder_ratios))
+    packs = {}
+    t = chunk_t
+    for i in range(len(depths)):
+        t //= strides[i]
+        if (t >= max(t_min, 7) and depths[i] > 0
+                and not isinstance(params["stages"][i][0]["ffn1"]["w"], dict)):
+            dtype = params["stages"][i][0]["ffn1"]["w"].dtype
+            packs[i] = fs.pack_stage(params["stages"][i], dtype=dtype)
+    return packs
 
 
 def pack_encoder_stages(params: Params, cfg, chunk_t: int, max_frames: int = 8):
@@ -342,13 +408,12 @@ def pack_encoder_stages(params: Params, cfg, chunk_t: int, max_frames: int = 8):
 
 
 def encoder_apply_streaming_fused(params: Params, cfg, x: jnp.ndarray,
-                                  states, fused_packs):
-    """Streaming encode using the fused Block1D-chain kernel for small-T
-    stages; identical numerics to `encoder_apply_streaming`."""
-    from ..ops import fused_blocks as fb
+                                  states, fused_packs=None, large_packs=None):
+    """Streaming encode using the fused Block1D kernels (small-T chain and/or
+    tiled large-T stage packs); identical numerics to
+    `encoder_apply_streaming` up to fp32-vs-bf16 intra-block rounding."""
     depths = cfg.encoder_depths
     strides = [1] + list(reversed(cfg.encoder_ratios))
-    groups_of = (lambda d: d) if cfg.mixer_layer == "depthwise_conv" else (lambda d: 1)
     s = list(states)
     h = x
     for i in range(len(depths)):
@@ -356,22 +421,7 @@ def encoder_apply_streaming_fused(params: Params, cfg, x: jnp.ndarray,
         st = s.pop(0)
         h, new_st = causal_conv1d_streaming(h, st, dp["w"], dp["b"], stride=strides[i])
         s.append(new_st)
-        if i in fused_packs:
-            packed = fused_packs[i]
-            n = depths[i]
-            stage_states = [s.pop(0) for _ in range(n)]
-            ctx = jnp.stack([st.buf for st in stage_states], axis=1)
-
-            def _one(row_x, row_ctx):
-                return fb.fused_block_chain(packed, row_x, row_ctx,
-                                            eps=cfg.layernorm_eps)
-
-            h, new_ctx = jax.vmap(_one)(h, ctx)
-            for j in range(n):
-                s.append(ConvState(buf=new_ctx[:, j]))
-        else:
-            for bp in params["stages"][i]:
-                h = _block_apply(bp, h, cfg.layernorm_eps, groups_of(h.shape[-1]), s)
+        h = _stage_fused_or_plain(params, cfg, i, h, s, fused_packs, large_packs)
     if params["final_norm_w"] is not None:
         h = rms_norm(h, params["final_norm_w"], cfg.layernorm_eps)
     hp = params["head"]
@@ -465,6 +515,8 @@ __all__ = [
     "decoder_apply",
     "pack_encoder_stages",
     "pack_decoder_stages",
+    "pack_encoder_stages_large",
+    "pack_decoder_stages_large",
     "encoder_apply_streaming_fused",
     "decoder_apply_streaming_fused",
     "encoder_state_init",
