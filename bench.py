@@ -122,7 +122,7 @@ def main():
         "opt_in_modes_measured_this_round": {
             "int8 LM": 26.8, "int4 LM + int8 sigma-VAE stacks": 33.8,
             "int8 LM + int8 sigma-VAE": 32.7,
-            "batch8 int8 LM + int8 sigma-VAE audio-sec/s": 171.1},
+            "batch8 int8 LM + int8 sigma-VAE + fused stage kernel audio-sec/s": 194.8},
     }))
 
 

@@ -32,12 +32,17 @@ class VibeVoiceTTS:
                  int4_group_size: Optional[int] = None,
                  quantize_tokenizer: Optional[str] = None,
                  tokenizer_min_dim: int = 512,
+                 use_fused_stages: bool = False,
                  keep_audio: bool = True,
                  processor: Optional[VibeVoiceProcessor] = None):
         self.do_sample = do_sample
         self.refresh_negative = refresh_negative
         self.algorithm_type = algorithm_type
         self.kv_dtype = kv_dtype
+        # tiled large-T sigma-VAE stage kernel: measured +14% at B=8
+        # (170.7 -> 194.8 audio-sec/s), NEGATIVE at B=1 — enable for
+        # batch-serving replicas only (PERFORMANCE.md §σ-VAE)
+        self.use_fused_stages = use_fused_stages
         # keep_audio=False drops the on-device [B, max_steps, hop] waveform
         # accumulator (~813 MB for a 90-min run); results then carry
         # audio=None and consumers MUST attach an audio_streamer
@@ -119,6 +124,7 @@ class VibeVoiceTTS:
                                           max_steps=max_steps, batch=batch,
                                           prompt_len=bucket, dtype=self.dtype,
                                           kv_dtype=self.kv_dtype,
+                                          use_fused_stages=self.use_fused_stages,
                                           keep_audio=self.keep_audio)
         return self._engines[key]
 
