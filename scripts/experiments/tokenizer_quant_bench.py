@@ -93,6 +93,8 @@ VARIANTS = {
                {"use_fused_stages": True}),
     "i8i8fs": ("int8lm+int8tok+fusedstages", "int8", "int8",
                {"use_fused_stages": True}),
+    # int4 FFN + int8 attention projections: halves Pallas call count
+    "i4fi8": ("int4flm+int8tok", "int4f", "int8"),
 }
 names = sys.argv[2:] or list(VARIANTS)
 for nm in names:

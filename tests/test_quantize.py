@@ -244,3 +244,20 @@ def test_int8_kv_cache_engine_close_to_bf16():
     assert np.isfinite(a_q).all()
     corr = float(np.corrcoef(a_fp, a_q)[0, 1])
     assert corr > 0.99
+
+
+def test_int4f_mixed_layout():
+    """mode='int4f': int4 FFN kernels + int8 attention projections (fused
+    qkv), int4 logits head — the call-count/bandwidth trade probe."""
+    from vibevoice_tpu.configs import tiny_config
+    from vibevoice_tpu.models import vibevoice as V
+
+    cfg = tiny_config(vocab_size=320)
+    params = V.init_model(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    out = qz.quantize_model(params, tie_word_embeddings=True, mode="int4f")
+    lp = out["lm"]["layers"][0]
+    assert "qint8" in lp["qkv"]["w"] and "qint8" in lp["o"]["w"]
+    assert "qint4" in lp["gateup"] and "qint4" in lp["down"]
+    assert "qint4" in out["lm_head"]
+    # head defaults to int8 like plain int4
+    assert "qint8" in out["diffusion_head"]["layers"][0]["gate"]

@@ -52,8 +52,9 @@ class VibeVoiceTTS:
         # per-frame reads once the LM is quantized).  Opt-in separately from
         # the LM: it touches the waveform path directly.
         if quantize is not None:
-            if quantize not in ("int8", "int4"):
-                raise ValueError(f"quantize must be 'int8' or 'int4', got {quantize}")
+            if quantize not in ("int8", "int4", "int4f"):
+                raise ValueError(
+                    f"quantize must be 'int8', 'int4' or 'int4f', got {quantize}")
             from .utils.quantize import quantize_model
             params = quantize_model(params, cfg.decoder.tie_word_embeddings,
                                     mode=quantize, group_size=int4_group_size,

@@ -78,21 +78,27 @@ def quantize_lm_layer(lp: Dict[str, Any], mode: str = "int8",
     """Quantize one decoder layer.  int4 fuses same-input projections into
     single kernels: q/k/v share hn and gate/up share hn, so one packed matrix
     (and ONE Pallas call) serves each set — numerics-identical to separate
-    quantization since scales are per output column either way."""
+    quantization since scales are per output column either way.
+
+    mode="int4f": int4 ONLY for the FFN matmuls (gate/up/down — ~88% of a
+    layer's bytes); the attention projections stay int8 XLA dots.  Halves
+    the per-frame Pallas call count (113 -> 57) against ~0.1 ms of extra
+    reads — the probe for whether the int4 path is call-overhead-bound."""
     nl = dict(lp)
-    if mode == "int4":
+    if mode in ("int4", "int4f"):
         qkv_w = jnp.concatenate([lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]], axis=1)
         qkv_b = None
         if lp["q"]["b"] is not None:
             qkv_b = jnp.concatenate([lp["q"]["b"], lp["k"]["b"], lp["v"]["b"]])
-        nl["qkv"] = {"w": _quant(qkv_w, mode, group_size), "b": qkv_b}
+        attn_mode = "int8" if mode == "int4f" else "int4"
+        nl["qkv"] = {"w": _quant(qkv_w, attn_mode, group_size), "b": qkv_b}
         nl["gateup"] = _quant(jnp.concatenate([lp["gate"], lp["up"]], axis=1),
-                              mode, group_size)
+                              "int4", group_size)
         for name in ("q", "k", "v"):  # superseded by the fused projection
             nl.pop(name)
         nl.pop("gate"); nl.pop("up")
-        nl["o"] = {"w": _quant(lp["o"]["w"], mode, group_size), "b": lp["o"]["b"]}
-        nl["down"] = _quant(lp["down"], mode, group_size)
+        nl["o"] = {"w": _quant(lp["o"]["w"], attn_mode, group_size), "b": lp["o"]["b"]}
+        nl["down"] = _quant(lp["down"], "int4", group_size)
     else:
         for name in ("q", "k", "v", "o"):
             proj = dict(lp[name])
@@ -279,18 +285,20 @@ def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True,
     the output latent's fidelity); the LM, where int4 saves ~0.75 GB per
     frame, stays int4.
     """
-    if mode not in ("int8", "int4"):
-        raise ValueError(f"quantize mode must be 'int8' or 'int4', got {mode}")
-    dmode = diffusion_mode or ("int8" if mode == "int4" else mode)
+    if mode not in ("int8", "int4", "int4f"):
+        raise ValueError(f"quantize mode must be 'int8', 'int4' or 'int4f', got {mode}")
+    dmode = diffusion_mode or ("int8" if mode in ("int4", "int4f") else mode)
     out = dict(params)
     out["lm"] = quantize_lm(params["lm"], quantize_embed=quantize_embed,
                             mode=mode, group_size=group_size)
     out["diffusion_head"] = quantize_diffusion_head(params["diffusion_head"],
                                                     mode=dmode, group_size=group_size)
+    head_mode = "int4" if mode == "int4f" else mode  # logits head is one big
+    # per-frame read (152k x h); int4f's call-count trade doesn't apply to it
     if params.get("lm_head") is not None:
-        out["lm_head"] = _quant(params["lm_head"], mode, group_size)
+        out["lm_head"] = _quant(params["lm_head"], head_mode, group_size)
     elif tie_word_embeddings:
-        out["lm_head"] = _quant(params["lm"]["embed"].T, mode, group_size)
+        out["lm_head"] = _quant(params["lm"]["embed"].T, head_mode, group_size)
     if tokenizer_mode is not None:
         if tokenizer_mode not in ("int8", "int4"):
             raise ValueError(
