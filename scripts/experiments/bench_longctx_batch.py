@@ -21,8 +21,12 @@ from vibevoice_tpu.utils.quantize import quantize_model
 
 B = int(os.environ.get("B", "2"))
 LIVES = [int(x) for x in os.environ.get("LIVES", "16384 32768 63488").split()]
-W = os.environ.get("W", "int8")          # int8 | int4 | bf16
+W = os.environ.get("W", "int8")          # int8 | int4 | int4f | bf16
 KV = os.environ.get("KV", "int8")        # int8 | model
+TOK = os.environ.get("TOK") or None      # int8 | int4 | unset (σ-VAE stacks)
+FS = os.environ.get("FS", "") == "1"     # tiled large-T stage kernel
+STEPS = int(os.environ.get("STEPS", "10"))
+ALGO = os.environ.get("ALGO", "dpmsolver++")
 # cache width: B=4 at the full 64K int8-KV cache RESOURCE_EXHAUSTs the
 # 16 GB chip (measured 2026-08-19) — serve B=4 from a 32K cache instead
 CACHE = int(os.environ.get("CACHE", "65536"))
@@ -33,18 +37,22 @@ params = jax.jit(lambda k: vibevoice.init_model(k, cfg, dtype=jnp.bfloat16))(jax
 params["speech_scaling_factor"] = jnp.asarray(1.0)
 params["speech_bias_factor"] = jnp.asarray(0.0)
 if W != "bf16":
-    params = quantize_model(params, True, mode=W)
+    params = quantize_model(params, True, mode=W, tokenizer_mode=TOK)
+elif TOK:
+    from vibevoice_tpu.utils.quantize import quantize_tokenizers
+    params = quantize_tokenizers(params, mode=TOK)
 _ = float(np.asarray(jax.tree_util.tree_leaves(params)[0]).reshape(-1)[0])
-print(f"init done (B={B} W={W} KV={KV})", flush=True)
+print(f"init done (B={B} W={W} KV={KV} TOK={TOK} FS={FS} {STEPS}-step {ALGO})", flush=True)
 
 prompt_len = 2048
 max_steps = CACHE - prompt_len
 gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          speech_diffusion_id=151654, eos_id=151643,
-                         ddpm_steps=10, force_diffusion=True)
+                         ddpm_steps=STEPS, algorithm_type=ALGO,
+                         force_diffusion=True)
 eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=B,
                prompt_len=prompt_len, dtype=jnp.bfloat16, kv_dtype=KV,
-               keep_audio=False)
+               use_fused_stages=FS, keep_audio=False)
 
 ids = np.zeros((B, prompt_len), np.int32)
 mask = np.ones((B, prompt_len), np.int32)
