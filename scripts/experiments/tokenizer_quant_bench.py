@@ -46,8 +46,19 @@ mask = np.ones((BATCH, 64), np.int32)
 sim = np.zeros((BATCH, 64), bool)
 
 
-def run(tag, lm_mode, tok_mode, eng_kw=None):
+def run(tag, lm_mode, tok_mode, eng_kw=None, chain_int4=False):
     t0 = time.perf_counter()
+    packs = None
+    if chain_int4:
+        # int4 packs for the deep (T<=8) stages, built from the ORIGINAL
+        # bf16 weights, streamed inside the chain kernel (one call/stage)
+        from vibevoice_tpu.models import tokenizer as tokmod
+        packs = (
+            tokmod.pack_decoder_stages(base["acoustic_decoder"],
+                                       cfg.acoustic_tokenizer, quant="int4"),
+            tokmod.pack_encoder_stages(base["semantic_encoder"],
+                                       cfg.semantic_tokenizer, chunk_t=hop,
+                                       quant="int4"))
     if lm_mode is None and tok_mode is None:
         params = base
     elif lm_mode is None:
@@ -55,6 +66,10 @@ def run(tag, lm_mode, tok_mode, eng_kw=None):
         params = quantize_tokenizers(base, mode=tok_mode)
     else:
         params = quantize_model(base, True, mode=lm_mode, tokenizer_mode=tok_mode)
+    if packs is not None:
+        params = dict(params)
+        params["_vocoder_packs"], params["_semantic_packs"] = packs
+        eng_kw = dict(eng_kw or {}, use_fused_vocoder=True, use_fused_semantic=True)
     _ = float(np.asarray(params["speech_scaling_factor"]))
     print(f"# {tag}: quantize {time.perf_counter()-t0:.1f}s", flush=True)
 
@@ -95,6 +110,9 @@ VARIANTS = {
                {"use_fused_stages": True}),
     # int4 FFN + int8 attention projections: halves Pallas call count
     "i4fi8": ("int4flm+int8tok", "int4f", "int8"),
+    # deep sigma-VAE stages as int4-weight chain kernels (one call/stage)
+    "i4fq": ("int4flm+int8tok+int4chain", "int4f", "int8", None, True),
+    "i8q": ("int8lm+int8tok+int4chain", "int8", "int8", None, True),
 }
 names = sys.argv[2:] or list(VARIANTS)
 for nm in names:

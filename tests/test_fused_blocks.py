@@ -126,3 +126,52 @@ def test_fused_encoder_streaming_matches_regular(interpret_pallas):
     np.testing.assert_allclose(np.asarray(jnp.concatenate(outs_b, 1)),
                                np.asarray(jnp.concatenate(outs_a, 1)),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("t,d,n_blocks", [(1, 64, 2), (8, 32, 2)])
+def test_fused_chain_int4_close(interpret_pallas, t, d, n_blocks):
+    """int4-pack chain kernel (pack_stage_q): per-output-channel int4 FFN
+    weights dequantized in-VMEM; must track the fp path to int4 tolerance
+    and round-trip the streaming context exactly like the fp pack."""
+    cfg = AcousticTokenizerConfig()
+    key = jax.random.PRNGKey(3)
+    blocks = [tok._block_init(k, d, cfg, jnp.float32)
+              for k in jax.random.split(key, n_blocks)]
+    for i, bp in enumerate(blocks):
+        kk = jax.random.fold_in(key, 200 + i)
+        bp["gamma"] = jax.random.normal(kk, (d,)) * 0.1
+        bp["ffn_gamma"] = jax.random.normal(jax.random.fold_in(kk, 1), (d,)) * 0.1
+
+    x = jax.random.normal(jax.random.fold_in(key, 7), (t, d)) * 0.5
+    ctx = jax.random.normal(jax.random.fold_in(key, 8), (n_blocks, 6, d)) * 0.5
+
+    packed_q = fb.pack_stage_q(blocks)
+    y_q, ctx_q = fb.fused_block_chain(packed_q, x, ctx, eps=cfg.layernorm_eps)
+
+    # fp reference via the per-op path
+    states = [conv_state_init(1, d, 7, 1) for _ in range(n_blocks)]
+    for j in range(n_blocks):
+        states[j] = states[j]._replace(buf=ctx[None, j])
+    s = list(states)
+    h = x[None]
+    for bp in blocks:
+        h = tok._block_apply(bp, h, cfg.layernorm_eps, d, s)
+    y_ref = h[0]
+    ctx_ref = jnp.stack([st.buf[0] for st in s], axis=0)
+
+    # block 0's context is pre-FFN (unquantized math) and matches tightly;
+    # later blocks' inputs — and the output — carry int4 weight error
+    np.testing.assert_allclose(np.asarray(ctx_q[0]), np.asarray(ctx_ref[0]),
+                               atol=1e-4, rtol=1e-3)
+    corr = float(jnp.corrcoef(ctx_q.reshape(-1), ctx_ref.reshape(-1))[0, 1])
+    assert corr > 0.97, corr
+    corr = float(jnp.corrcoef(y_q.reshape(-1), y_ref.reshape(-1))[0, 1])
+    assert corr > 0.97, corr
+
+
+def test_pack_stage_q_rejects_quantized():
+    cfg = AcousticTokenizerConfig()
+    blocks = [tok._block_init(jax.random.PRNGKey(0), 16, cfg, jnp.float32)]
+    blocks[0]["ffn1"] = {"w": {"qint8": jnp.zeros((16, 64), jnp.int8)}, "b": None}
+    with pytest.raises(ValueError, match="unquantized"):
+        fb.pack_stage_q(blocks)

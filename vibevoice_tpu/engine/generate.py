@@ -182,13 +182,15 @@ class Engine:
         # accumulator (e.g. 813 MB for a 90-min run) — streaming consumers
         # get per-step chunks from StepOutput instead
         self.keep_audio = keep_audio
-        if use_fused_vocoder:
-            # stash packs INSIDE the params tree: closing over them would
-            # inline ~GBs of weights as HLO constants (tunnel 413s)
+        # packs are stashed INSIDE the params tree: closing over them would
+        # inline ~GBs of weights as HLO constants (tunnel 413s).  Callers may
+        # pre-inject a pack key (e.g. int4 packs built from the original bf16
+        # weights before quantization) — an existing key is kept as-is.
+        if use_fused_vocoder and "_vocoder_packs" not in params:
             params = dict(params)
             params["_vocoder_packs"] = tokenizer.pack_decoder_stages(
                 params["acoustic_decoder"], cfg.acoustic_tokenizer)
-        if use_fused_semantic:
+        if use_fused_semantic and "_semantic_packs" not in params:
             # fused Block1D chain for the semantic re-encode's small-T tail
             # stages (the encoder's largest dims)
             params = dict(params)

@@ -242,10 +242,15 @@ def decoder_apply(params: Params, cfg: AcousticTokenizerConfig, z: jnp.ndarray,
 
 
 def pack_decoder_stages(params: Params, cfg: AcousticTokenizerConfig,
-                        max_frames: int = 8):
+                        max_frames: int = 8, quant: Optional[str] = None):
     """Precompute fused-kernel weight packs for decoder stages whose
     per-frame T is small enough to keep activations VMEM-resident
-    (streaming decode: stage i runs at T = prod(ratios[:i]) frames)."""
+    (streaming decode: stage i runs at T = prod(ratios[:i]) frames).
+
+    quant="int4": nibble-packed FFN weights streamed at quarter-bf16 bytes
+    and dequantized in-VMEM (ops/fused_blocks.pack_stage_q) — the measured
+    winner for the deep stages, where per-matmul int4 GEMV kernels lose to
+    call overhead but ONE kernel per stage keeps the bandwidth saving."""
     from ..ops import fused_blocks as fb
     depths = cfg.decoder_depths_resolved()
     strides = list(cfg.decoder_ratios)
@@ -255,8 +260,11 @@ def pack_decoder_stages(params: Params, cfg: AcousticTokenizerConfig,
         if i > 0:
             t *= strides[i - 1]
         if t <= max_frames and depths[i] > 0:
-            dtype = params["stages"][i][0]["ffn1"]["w"].dtype
-            packs[i] = fb.pack_stage(params["stages"][i], dtype=dtype)
+            if quant == "int4":
+                packs[i] = fb.pack_stage_q(params["stages"][i])
+            else:
+                dtype = params["stages"][i][0]["ffn1"]["w"].dtype
+                packs[i] = fb.pack_stage(params["stages"][i], dtype=dtype)
     return packs
 
 
@@ -381,7 +389,8 @@ def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
     return packs
 
 
-def pack_encoder_stages(params: Params, cfg, chunk_t: int, max_frames: int = 8):
+def pack_encoder_stages(params: Params, cfg, chunk_t: int, max_frames: int = 8,
+                        quant: Optional[str] = None):
     """Precompute fused-kernel weight packs for encoder stages whose per-chunk
     T is small enough for VMEM-resident activations.
 
@@ -389,7 +398,8 @@ def pack_encoder_stages(params: Params, cfg, chunk_t: int, max_frames: int = 8):
     3200) stage i runs at T = chunk_t / prod(strides[:i+1]) — the tail
     stages (T <= 8) carry the largest dims, i.e. most of the weight bytes
     and the worst per-op arithmetic intensity, exactly what the fused
-    Block1D-chain kernel fixes (mirror of `pack_decoder_stages`)."""
+    Block1D-chain kernel fixes (mirror of `pack_decoder_stages`, incl.
+    quant="int4")."""
     if cfg.mixer_layer != "depthwise_conv":
         return {}  # kernel packs depthwise taps only
     from ..ops import fused_blocks as fb
@@ -402,8 +412,11 @@ def pack_encoder_stages(params: Params, cfg, chunk_t: int, max_frames: int = 8):
             f"chunk {chunk_t} does not stream-divide encoder strides")
         t //= strides[i]
         if t <= max_frames and depths[i] > 0:
-            dtype = params["stages"][i][0]["ffn1"]["w"].dtype
-            packs[i] = fb.pack_stage(params["stages"][i], dtype=dtype)
+            if quant == "int4":
+                packs[i] = fb.pack_stage_q(params["stages"][i])
+            else:
+                dtype = params["stages"][i][0]["ffn1"]["w"].dtype
+                packs[i] = fb.pack_stage(params["stages"][i], dtype=dtype)
     return packs
 
 

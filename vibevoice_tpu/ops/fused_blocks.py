@@ -156,13 +156,183 @@ def pack_stage(blocks, dtype=jnp.float32):
     return {"vecs": vecs, "mixw": mixw, "w1": w1, "w2": w2}
 
 
+def pack_stage_q(blocks):
+    """int4 weight pack for the chain kernel: FFN matmul weights are
+    nibble-packed (interleaved rows, `ops.int4_matmul.pack_int4`) with
+    per-output-channel fp32 scales, streamed at HALF the int8 bytes and
+    dequantized in-VMEM by the hardware bitcast — this beats both the int8
+    XLA path (2x the reads) and per-matmul int4 GEMV kernels (~22 kernel
+    launches per frame vs ONE per stage).  ffn1's bias leaves the augmented
+    matmul (it cannot be nibble-packed) and rides in `sb1` row 1.
+    """
+    from .int4_matmul import quantize_int4
+    n = len(blocks)
+    if any(isinstance(bp["ffn1"]["w"], dict) for bp in blocks):
+        raise ValueError(
+            "pack_stage_q needs the original (unquantized) stage weights — "
+            "exclude these stages from quantize_tokenizer (max_dim)")
+    d = blocks[0]["norm_w"].shape[0]
+    f = blocks[0]["ffn1"]["w"].shape[1]
+    vecs = jnp.zeros((n, 8, d), jnp.float32)
+    mixw = jnp.zeros((n, 8, d), jnp.float32)
+    w1q = jnp.zeros((n, d // 2, f), jnp.int8)
+    sb1 = jnp.zeros((n, 2, f), jnp.float32)
+    w2q = jnp.zeros((n, f // 2, d), jnp.int8)
+    s2 = jnp.zeros((n, 1, d), jnp.float32)
+    for i, bp in enumerate(blocks):
+        vecs = vecs.at[i, 0].set(bp["norm_w"].astype(jnp.float32))
+        vecs = vecs.at[i, 1].set((bp["mixer"]["b"] if bp["mixer"]["b"] is not None
+                                  else jnp.zeros(d)).astype(jnp.float32))
+        vecs = vecs.at[i, 2].set(bp["gamma"].astype(jnp.float32))
+        vecs = vecs.at[i, 3].set(bp["ffn_norm_w"].astype(jnp.float32))
+        vecs = vecs.at[i, 4].set(bp["ffn_gamma"].astype(jnp.float32))
+        vecs = vecs.at[i, 5].set((bp["ffn2"]["b"] if bp["ffn2"]["b"] is not None
+                                  else jnp.zeros(d)).astype(jnp.float32))
+        mixw = mixw.at[i, :7].set(bp["mixer"]["w"][:, 0, :].astype(jnp.float32))
+        q1 = quantize_int4(bp["ffn1"]["w"])
+        w1q = w1q.at[i].set(q1["qint4"])
+        sb1 = sb1.at[i, 0].set(q1["scale4"][0])
+        if bp["ffn1"]["b"] is not None:
+            sb1 = sb1.at[i, 1].set(bp["ffn1"]["b"].astype(jnp.float32))
+        q2 = quantize_int4(bp["ffn2"]["w"])
+        w2q = w2q.at[i].set(q2["qint4"])
+        s2 = s2.at[i, 0].set(q2["scale4"][0])
+    return {"vecs": vecs, "mixw": mixw, "w1q": w1q, "sb1": sb1,
+            "w2q": w2q, "s2": s2}
+
+
+def _kernel_q(vecs_ref, mixw_ref, w1q_ref, sb1_ref, w2q_ref, s2_ref,
+              ctx_in_ref, x_ref, o_ref, ctx_out_ref,
+              x_scratch, y_scratch, hn_scratch, acc_scratch,
+              *, t: int, d: int, tile_f: int, eps: float):
+    ib = pl.program_id(0)
+    it = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
+
+    @pl.when(it == 0)
+    def _mixer():
+        @pl.when(ib == 0)
+        def _load_x():
+            x_scratch[:] = x_ref[:].astype(jnp.float32)
+
+        x = x_scratch[:]
+        norm_w = vecs_ref[0, 0]
+        mixer_b = vecs_ref[0, 1]
+        gamma = vecs_ref[0, 2]
+        ffn_norm_w = vecs_ref[0, 3]
+
+        h = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+        h = h * norm_w[None, :]
+        ctx = ctx_in_ref[0][:CTX].astype(jnp.float32)
+        if t >= CTX:
+            new_ctx = h[t - CTX:t]
+        else:
+            new_ctx = jnp.concatenate([ctx[t:], h[:t]], axis=0)
+        ctx_out_ref[0, :CTX] = new_ctx.astype(ctx_out_ref.dtype)
+        ctx_out_ref[0, CTX:] = jnp.zeros((8 - CTX, d), ctx_out_ref.dtype)
+
+        taps = [mixw_ref[0, k].astype(jnp.float32) for k in range(7)]
+        rows = []
+        for i in range(t):
+            acc_row = jnp.zeros((d,), jnp.float32)
+            for k in range(7):
+                j = i + k
+                src = ctx[j] if j < CTX else h[j - CTX]
+                acc_row = acc_row + src * taps[k]
+            rows.append(acc_row[None, :])
+        t8 = x_scratch.shape[0]
+        if t < t8:
+            rows.append(jnp.zeros((t8 - t, d), jnp.float32))
+        m = jnp.concatenate(rows, axis=0)
+        m = m + mixer_b[None, :]
+        y = x + gamma[None, :] * m
+        y_scratch[:] = y
+        hn = y * jax.lax.rsqrt(jnp.mean(y * y, axis=-1, keepdims=True) + eps)
+        hn_scratch[:] = hn * ffn_norm_w[None, :]
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    # FFN tile, int4 weights: a = gelu((hn @ deq(w1)) * s1 + b1);
+    # acc += a @ deq(w2) (w2's per-channel scale applied once at the end)
+    hn = hn_scratch[:]
+    w1 = pltpu.bitcast(w1q_ref[0], jnp.int4).astype(jnp.float32)  # [D, tile_f]
+    a = jax.lax.dot_general(hn, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    a = a * sb1_ref[0, 0][None, :] + sb1_ref[0, 1][None, :]
+    a = 0.5 * a * (1.0 + _erf(a * 0.7071067811865476))
+    w2 = pltpu.bitcast(w2q_ref[0], jnp.int4).astype(jnp.float32)  # [tile_f, D]
+    acc_scratch[:] = acc_scratch[:] + jax.lax.dot_general(
+        a, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(it == nt - 1)
+    def _finish_block():
+        ffn_gamma = vecs_ref[0, 4]
+        ffn2_b = vecs_ref[0, 5]
+        x_scratch[:] = y_scratch[:] + ffn_gamma[None, :] * (
+            acc_scratch[:] * s2_ref[0, 0][None, :] + ffn2_b[None, :])
+
+        @pl.when(ib == nb - 1)
+        def _emit():
+            o_ref[:] = x_scratch[:].astype(o_ref.dtype)
+
+
+def _fused_block_chain_q(packed, x: jnp.ndarray, ctx: jnp.ndarray,
+                         eps: float, tile_f: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n, _, d = packed["vecs"].shape
+    f = packed["w1q"].shape[2]
+    t = x.shape[0]
+    assert t <= 8
+    t8 = 8
+    tile_f = min(tile_f, f)
+    nt = -(-f // tile_f)
+    x_pad = jnp.pad(x, ((0, t8 - t), (0, 0)))
+    ctx_pad = jnp.pad(ctx, ((0, 0), (0, 8 - CTX), (0, 0)))
+
+    kernel = functools.partial(_kernel_q, t=t, d=d, tile_f=tile_f, eps=eps)
+    y, new_ctx = pl.pallas_call(
+        kernel,
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
+            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
+            pl.BlockSpec((1, d // 2, tile_f), lambda ib, it: (ib, 0, it)),
+            pl.BlockSpec((1, 2, tile_f), lambda ib, it: (ib, 0, it)),
+            pl.BlockSpec((1, tile_f // 2, d), lambda ib, it: (ib, it, 0)),
+            pl.BlockSpec((1, 1, d), lambda ib, it: (ib, 0, 0)),
+            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
+            pl.BlockSpec((t8, d), lambda ib, it: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((t8, d), lambda ib, it: (0, 0)),
+            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t8, d), x.dtype),
+            jax.ShapeDtypeStruct((n, 8, d), ctx.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((t8, d), jnp.float32),
+            pltpu.VMEM((t8, d), jnp.float32),
+            pltpu.VMEM((t8, d), jnp.float32),
+            pltpu.VMEM((t8, d), jnp.float32),
+        ],
+    )(packed["vecs"], packed["mixw"], packed["w1q"], packed["sb1"],
+      packed["w2q"], packed["s2"], ctx_pad, x_pad)
+    return y[:t], new_ctx[:, :CTX]
+
+
 def fused_block_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
                       eps: float = 1e-5, tile_f: int = 256
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused chain for ONE batch row.
 
     x [T, D] (T <= 8), ctx [N, 6, D] -> (y [T, D], new_ctx [N, 6, D]).
+    Dispatches on the pack layout: bf16/f32 packs (`pack_stage`) or int4
+    packs (`pack_stage_q`).
     """
+    if "w1q" in packed:
+        return _fused_block_chain_q(packed, x, ctx, eps=eps, tile_f=tile_f)
     n, _, d = packed["vecs"].shape
     f = packed["w1"].shape[2]
     t = x.shape[0]
@@ -203,4 +373,4 @@ def fused_block_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     return y[:t], new_ctx[:, :CTX]
 
 
-__all__ = ["pack_stage", "fused_block_chain", "CTX"]
+__all__ = ["pack_stage", "pack_stage_q", "fused_block_chain", "CTX"]
