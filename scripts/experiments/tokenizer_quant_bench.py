@@ -113,6 +113,9 @@ VARIANTS = {
     # deep sigma-VAE stages as int4-weight chain kernels (one call/stage)
     "i4fq": ("int4flm+int8tok+int4chain", "int4f", "int8", None, True),
     "i8q": ("int8lm+int8tok+int4chain", "int8", "int8", None, True),
+    # full composition: int4 chain (T<=8) + tiled stage kernel (T>=128)
+    "i8qfs": ("int8lm+int8tok+int4chain+fusedstages", "int8", "int8",
+              {"use_fused_stages": True}, True),
 }
 names = sys.argv[2:] or list(VARIANTS)
 for nm in names:

@@ -210,3 +210,34 @@ def test_pipeline_flag_plumbing():
     assert t.params["lm"]["layers"][0]["q"]["w"].dtype != jnp.int8
     with pytest.raises(ValueError, match="quantize_tokenizer"):
         VibeVoiceTTS.from_random(cfg=CFG, quantize_tokenizer="fp8")
+
+
+def test_pipeline_int4k_mode():
+    """quantize_tokenizer='int4k': deep (T<=8) stages become int4-weight
+    chain-kernel packs (built from the original weights), their tree FFN
+    weights are dropped, everything else is int8-quantized, and engines run
+    the fused appliers end-to-end."""
+    from vibevoice_tpu.pipeline import VibeVoiceTTS
+    from vibevoice_tpu.engine import generate as G
+
+    t = VibeVoiceTTS.from_random(cfg=CFG, dtype=jnp.float32,
+                                 quantize_tokenizer="int4k")
+    assert "_vocoder_packs" in t.params and t.params["_vocoder_packs"]
+    assert "_semantic_packs" in t.params and t.params["_semantic_packs"]
+    for name, packs_key in (("acoustic_decoder", "_vocoder_packs"),
+                            ("semantic_encoder", "_semantic_packs")):
+        for i in t.params[packs_key]:
+            assert "w1q" in t.params[packs_key][i]
+            for bp in t.params[name]["stages"][i]:
+                assert bp["ffn1"]["w"] is None and bp["ffn2"]["w"] is None
+
+    gen = G.GenerationConfig(
+        speech_start_id=t.tokenizer.speech_start_id,
+        speech_end_id=t.tokenizer.speech_end_id,
+        speech_diffusion_id=t.tokenizer.speech_diffusion_id,
+        eos_id=t.tokenizer.eos_id, ddpm_steps=2, force_diffusion=True)
+    eng = G.Engine(t.params, t.cfg, gen, max_steps=4, batch=1, prompt_len=256,
+                   dtype=t.dtype, use_fused_vocoder=True, use_fused_semantic=True)
+    t._engine = lambda b, p, m: eng
+    res, _ = t.generate("Speaker 1: int4k path.", None, max_new_tokens=4)
+    assert res.audio[0] is not None and np.isfinite(res.audio[0]).all()

@@ -292,6 +292,7 @@ def _fused_block_chain_q(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     kernel = functools.partial(_kernel_q, t=t, d=d, tile_f=tile_f, eps=eps)
     y, new_ctx = pl.pallas_call(
         kernel,
+        interpret=jax.default_backend() == "cpu",
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
@@ -346,6 +347,7 @@ def fused_block_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     kernel = functools.partial(_kernel, t=t, d=d, tile_f=tile_f, eps=eps)
     y, new_ctx = pl.pallas_call(
         kernel,
+        interpret=jax.default_backend() == "cpu",
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),

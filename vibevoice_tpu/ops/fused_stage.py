@@ -121,6 +121,7 @@ def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     kernel = functools.partial(_kernel, n=n, tt=tt, d=d, eps=eps)
     y, new_ctx = pl.pallas_call(
         kernel,
+        interpret=jax.default_backend() == "cpu",
         grid=(bsz, nt),
         in_specs=[
             pl.BlockSpec((n, 8, d), lambda b, i: (0, 0, 0)),

@@ -47,10 +47,29 @@ class VibeVoiceTTS:
         # accumulator (~813 MB for a 90-min run); results then carry
         # audio=None and consumers MUST attach an audio_streamer
         self.keep_audio = keep_audio
-        # quantize_tokenizer="int8"/"int4": quantize the σ-VAE decode-path
-        # stacks' FFN weights too (vocoder + semantic re-encode — the largest
-        # per-frame reads once the LM is quantized).  Opt-in separately from
-        # the LM: it touches the waveform path directly.
+        # quantize_tokenizer: quantize the σ-VAE decode-path stacks too
+        # (vocoder + semantic re-encode — the largest per-frame reads once
+        # the LM is quantized).  Opt-in separately from the LM: it touches
+        # the waveform path directly.
+        #   "int8"  — FFNs (dim>=tokenizer_min_dim) + big transition convs
+        #   "int4"  — int4 FFN GEMV kernels (measured SLOWER than int8;
+        #             memory option only)
+        #   "int4k" — deep (T<=8) stages as int4-weight fused chain kernels
+        #             + int8 everywhere else: the measured-best B=1 config
+        #             (37.7 RTF vs 34.4 for plain int8 tok, same session)
+        self._chain_packs = None
+        tok_mode = quantize_tokenizer
+        tok_skip = None
+        if quantize_tokenizer == "int4k":
+            from .models import tokenizer as tokmod
+            voc = tokmod.pack_decoder_stages(
+                params["acoustic_decoder"], cfg.acoustic_tokenizer, quant="int4")
+            sem = tokmod.pack_encoder_stages(
+                params["semantic_encoder"], cfg.semantic_tokenizer,
+                chunk_t=cfg.speech_compress_ratio, quant="int4")
+            self._chain_packs = (voc, sem)
+            tok_mode = "int8"
+            tok_skip = {"acoustic_decoder": set(voc), "semantic_encoder": set(sem)}
         if quantize is not None:
             if quantize not in ("int8", "int4", "int4f"):
                 raise ValueError(
@@ -58,15 +77,31 @@ class VibeVoiceTTS:
             from .utils.quantize import quantize_model
             params = quantize_model(params, cfg.decoder.tie_word_embeddings,
                                     mode=quantize, group_size=int4_group_size,
-                                    tokenizer_mode=quantize_tokenizer,
-                                    tokenizer_min_dim=tokenizer_min_dim)
+                                    tokenizer_mode=tok_mode,
+                                    tokenizer_min_dim=tokenizer_min_dim,
+                                    tokenizer_skip=tok_skip)
         elif quantize_tokenizer is not None:
             from .utils.quantize import quantize_tokenizers
-            if quantize_tokenizer not in ("int8", "int4"):
-                raise ValueError(f"quantize_tokenizer must be 'int8' or 'int4', "
-                                 f"got {quantize_tokenizer}")
-            params = quantize_tokenizers(params, mode=quantize_tokenizer,
-                                         min_dim=tokenizer_min_dim)
+            if quantize_tokenizer not in ("int8", "int4", "int4k"):
+                raise ValueError(f"quantize_tokenizer must be 'int8', 'int4' or "
+                                 f"'int4k', got {quantize_tokenizer}")
+            params = quantize_tokenizers(params, mode=tok_mode,
+                                         min_dim=tokenizer_min_dim, skip=tok_skip)
+        if self._chain_packs is not None:
+            # stash packs in the params tree and drop the packed stages' now-
+            # unused FFN weights (would otherwise idle in HBM — ~1.1 GB bf16)
+            voc, sem = self._chain_packs
+            params = dict(params)
+            params["_vocoder_packs"], params["_semantic_packs"] = voc, sem
+            for name, packs in (("acoustic_decoder", voc), ("semantic_encoder", sem)):
+                stack = dict(params[name])
+                stages = list(stack["stages"])
+                for i in packs:
+                    stages[i] = [dict(bp, ffn1=dict(bp["ffn1"], w=None),
+                                      ffn2=dict(bp["ffn2"], w=None))
+                                 for bp in stages[i]]
+                stack["stages"] = stages
+                params[name] = stack
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -121,10 +156,13 @@ class VibeVoiceTTS:
                 do_sample=self.do_sample, refresh_negative=self.refresh_negative,
                 algorithm_type=self.algorithm_type,
             )
+            chain = self._chain_packs is not None
             self._engines[key] = G.Engine(self.params, self.cfg, gen,
                                           max_steps=max_steps, batch=batch,
                                           prompt_len=bucket, dtype=self.dtype,
                                           kv_dtype=self.kv_dtype,
+                                          use_fused_vocoder=chain,
+                                          use_fused_semantic=chain,
                                           use_fused_stages=self.use_fused_stages,
                                           keep_audio=self.keep_audio)
         return self._engines[key]

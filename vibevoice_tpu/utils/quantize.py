@@ -180,7 +180,8 @@ def quantize_convt_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 def quantize_tokenizer_stack(stack: Dict[str, Any], mode: str = "int8",
                              min_dim: int = 512,
                              group_size: Optional[int] = None,
-                             conv_min_params: int = 2_000_000) -> Dict[str, Any]:
+                             conv_min_params: int = 2_000_000,
+                             skip_stages=()) -> Dict[str, Any]:
     """Quantize the Block1D FFN weights of one tokenizer encoder/decoder stack.
 
     The decode hot path re-reads the acoustic DECODER and semantic ENCODER
@@ -201,7 +202,12 @@ def quantize_tokenizer_stack(stack: Dict[str, Any], mode: str = "int8",
     """
     out = dict(stack)
     stages = []
-    for blocks in stack["stages"]:
+    for si, blocks in enumerate(stack["stages"]):
+        if si in skip_stages:
+            # covered elsewhere (e.g. int4 chain-kernel packs — the stage's
+            # FFN weights are dropped from the tree by the caller)
+            stages.append(blocks)
+            continue
         nbs = []
         for bp in blocks:
             d = bp["norm_w"].shape[0]
@@ -247,19 +253,25 @@ def quantize_tokenizer_stack(stack: Dict[str, Any], mode: str = "int8",
 def quantize_tokenizers(params: Dict[str, Any], mode: str = "int8",
                         min_dim: int = 512,
                         group_size: Optional[int] = None,
-                        conv_min_params: int = 2_000_000) -> Dict[str, Any]:
+                        conv_min_params: int = 2_000_000,
+                        skip: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Quantize the two σ-VAE stacks on the decode hot path: the acoustic
     decoder (vocoder) and the semantic encoder (frame re-encode).  The
     acoustic ENCODER only runs at prefill (voice prompts), where its weight
     read amortizes over the whole prompt — it stays in the model dtype.
+    `skip` maps stack name -> stage indices handled elsewhere (int4 chain
+    packs).
     """
+    skip = skip or {}
     out = dict(params)
     out["acoustic_decoder"] = quantize_tokenizer_stack(
         params["acoustic_decoder"], mode=mode, min_dim=min_dim,
-        group_size=group_size, conv_min_params=conv_min_params)
+        group_size=group_size, conv_min_params=conv_min_params,
+        skip_stages=skip.get("acoustic_decoder", ()))
     out["semantic_encoder"] = quantize_tokenizer_stack(
         params["semantic_encoder"], mode=mode, min_dim=min_dim,
-        group_size=group_size, conv_min_params=conv_min_params)
+        group_size=group_size, conv_min_params=conv_min_params,
+        skip_stages=skip.get("semantic_encoder", ()))
     return out
 
 
@@ -268,7 +280,8 @@ def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True,
                    group_size: Optional[int] = None,
                    diffusion_mode: Optional[str] = None,
                    tokenizer_mode: Optional[str] = None,
-                   tokenizer_min_dim: int = 512) -> Dict[str, Any]:
+                   tokenizer_min_dim: int = 512,
+                   tokenizer_skip: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Quantize the LM (and untied lm_head) + diffusion head; the conv
     tokenizer stacks are additionally quantized when `tokenizer_mode` is set
     (opt-in — they shape the output waveform directly, so their quantization
@@ -304,7 +317,8 @@ def quantize_model(params: Dict[str, Any], tie_word_embeddings: bool = True,
             raise ValueError(
                 f"tokenizer_mode must be 'int8' or 'int4', got {tokenizer_mode}")
         out = quantize_tokenizers(out, mode=tokenizer_mode,
-                                  min_dim=tokenizer_min_dim, group_size=group_size)
+                                  min_dim=tokenizer_min_dim, group_size=group_size,
+                                  skip=tokenizer_skip)
     return out
 
 
