@@ -120,9 +120,10 @@ def main():
         "vs_baseline": round(rtf, 4),
         "config": "bf16, 5-step sde-dpmsolver++ (reference gradio production config)",
         "opt_in_modes_measured_this_round": {
-            "int8 LM": 26.8, "int4 LM + int8 sigma-VAE stacks": 33.8,
-            "int8 LM + int8 sigma-VAE": 32.7,
-            "batch8 int8 LM + int8 sigma-VAE + fused stage kernel audio-sec/s": 194.8},
+            "int8 LM": 26.8,
+            "int4f LM + int4-chain sigma-VAE deep stages (B=1 best)": 37.7,
+            "int4 LM + int8 sigma-VAE stacks": 33.8,
+            "batch8 int8 LM + int8 sigma-VAE + fused stage kernel audio-sec/s": 195.4},
     }))
 
 
