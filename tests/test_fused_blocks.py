@@ -175,3 +175,27 @@ def test_pack_stage_q_rejects_quantized():
     blocks[0]["ffn1"] = {"w": {"qint8": jnp.zeros((16, 64), jnp.int8)}, "b": None}
     with pytest.raises(ValueError, match="unquantized"):
         fb.pack_stage_q(blocks)
+
+
+def test_fused_chain_int4_batched_matches_single(interpret_pallas):
+    """Batched int4 chain == per-row results (batch lives in the kernel
+    rows; weights stream once)."""
+    cfg = AcousticTokenizerConfig()
+    key = jax.random.PRNGKey(5)
+    d, n, t, b = 32, 2, 8, 3
+    blocks = [tok._block_init(k, d, cfg, jnp.float32)
+              for k in jax.random.split(key, n)]
+    for i, bp in enumerate(blocks):
+        kk = jax.random.fold_in(key, 300 + i)
+        bp["gamma"] = jax.random.normal(kk, (d,)) * 0.1
+        bp["ffn_gamma"] = jax.random.normal(jax.random.fold_in(kk, 1), (d,)) * 0.1
+    x = jax.random.normal(jax.random.fold_in(key, 7), (b, t, d)) * 0.5
+    ctx = jax.random.normal(jax.random.fold_in(key, 8), (b, n, 6, d)) * 0.5
+    packed = fb.pack_stage_q(blocks)
+    y_b, ctx_b = fb.fused_block_chain_batched(packed, x, ctx)
+    for r in range(b):
+        y_r, ctx_r = fb.fused_block_chain(packed, x[r], ctx[r])
+        np.testing.assert_allclose(np.asarray(y_b[r]), np.asarray(y_r),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ctx_b[r]), np.asarray(ctx_r),
+                                   atol=1e-5, rtol=1e-4)

@@ -278,12 +278,16 @@ def _stage_fused_or_plain(params: Params, cfg, i: int, h: jnp.ndarray, s: list,
         packed = fused_packs[i]
         stage_states = [s.pop(0) for _ in range(n)]
         ctx = jnp.stack([st.buf for st in stage_states], axis=1)
+        if "w1q" in packed:
+            # batched int4 chain: weights stream once for all rows
+            h, new_ctx = fb.fused_block_chain_batched(packed, h, ctx,
+                                                      eps=cfg.layernorm_eps)
+        else:
+            def _one(row_x, row_ctx):
+                return fb.fused_block_chain(packed, row_x, row_ctx,
+                                            eps=cfg.layernorm_eps)
 
-        def _one(row_x, row_ctx):
-            return fb.fused_block_chain(packed, row_x, row_ctx,
-                                        eps=cfg.layernorm_eps)
-
-        h, new_ctx = jax.vmap(_one)(h, ctx)
+            h, new_ctx = jax.vmap(_one)(h, ctx)
         for j in range(n):
             s.append(ConvState(buf=new_ctx[:, j]))
         return h

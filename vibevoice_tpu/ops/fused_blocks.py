@@ -204,17 +204,22 @@ def pack_stage_q(blocks):
 def _kernel_q(vecs_ref, mixw_ref, w1q_ref, sb1_ref, w2q_ref, s2_ref,
               ctx_in_ref, x_ref, o_ref, ctx_out_ref,
               x_scratch, y_scratch, hn_scratch, acc_scratch,
-              *, t: int, d: int, tile_f: int, eps: float):
+              *, bsz: int, t: int, d: int, tile_f: int, eps: float):
+    """Batched int4 chain kernel: the batch rides INSIDE the kernel rows
+    ([bsz*8, D] scratch), so each int4 weight tile streams from HBM once for
+    ALL batch rows — unlike a vmapped single-row kernel, which re-streams
+    the weights per row (measured 119.7 vs 195.4 audio-sec/s at B=8)."""
     ib = pl.program_id(0)
     it = pl.program_id(1)
     nb = pl.num_programs(0)
     nt = pl.num_programs(1)
+    t8 = 8
 
     @pl.when(it == 0)
     def _mixer():
         @pl.when(ib == 0)
         def _load_x():
-            x_scratch[:] = x_ref[:].astype(jnp.float32)
+            x_scratch[:] = x_ref[:].astype(jnp.float32).reshape(bsz * t8, d)
 
         x = x_scratch[:]
         norm_w = vecs_ref[0, 0]
@@ -224,26 +229,26 @@ def _kernel_q(vecs_ref, mixw_ref, w1q_ref, sb1_ref, w2q_ref, s2_ref,
 
         h = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
         h = h * norm_w[None, :]
-        ctx = ctx_in_ref[0][:CTX].astype(jnp.float32)
-        if t >= CTX:
-            new_ctx = h[t - CTX:t]
-        else:
-            new_ctx = jnp.concatenate([ctx[t:], h[:t]], axis=0)
-        ctx_out_ref[0, :CTX] = new_ctx.astype(ctx_out_ref.dtype)
-        ctx_out_ref[0, CTX:] = jnp.zeros((8 - CTX, d), ctx_out_ref.dtype)
-
         taps = [mixw_ref[0, k].astype(jnp.float32) for k in range(7)]
         rows = []
-        for i in range(t):
-            acc_row = jnp.zeros((d,), jnp.float32)
-            for k in range(7):
-                j = i + k
-                src = ctx[j] if j < CTX else h[j - CTX]
-                acc_row = acc_row + src * taps[k]
-            rows.append(acc_row[None, :])
-        t8 = x_scratch.shape[0]
-        if t < t8:
-            rows.append(jnp.zeros((t8 - t, d), jnp.float32))
+        for b in range(bsz):
+            hb = h[b * t8:(b + 1) * t8]
+            ctx = ctx_in_ref[b, 0][:CTX].astype(jnp.float32)
+            if t >= CTX:
+                new_ctx = hb[t - CTX:t]
+            else:
+                new_ctx = jnp.concatenate([ctx[t:], hb[:t]], axis=0)
+            ctx_out_ref[b, 0, :CTX] = new_ctx.astype(ctx_out_ref.dtype)
+            ctx_out_ref[b, 0, CTX:] = jnp.zeros((8 - CTX, d), ctx_out_ref.dtype)
+            for i in range(t):
+                acc_row = jnp.zeros((d,), jnp.float32)
+                for k in range(7):
+                    j = i + k
+                    src = ctx[j] if j < CTX else hb[j - CTX]
+                    acc_row = acc_row + src * taps[k]
+                rows.append(acc_row[None, :])
+            if t < t8:
+                rows.append(jnp.zeros((t8 - t, d), jnp.float32))
         m = jnp.concatenate(rows, axis=0)
         m = m + mixer_b[None, :]
         y = x + gamma[None, :] * m
@@ -273,23 +278,27 @@ def _kernel_q(vecs_ref, mixw_ref, w1q_ref, sb1_ref, w2q_ref, s2_ref,
 
         @pl.when(ib == nb - 1)
         def _emit():
-            o_ref[:] = x_scratch[:].astype(o_ref.dtype)
+            o_ref[:] = x_scratch[:].reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-def _fused_block_chain_q(packed, x: jnp.ndarray, ctx: jnp.ndarray,
-                         eps: float, tile_f: int
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    n, _, d = packed["vecs"].shape
+def fused_block_chain_batched(packed, x: jnp.ndarray, ctx: jnp.ndarray,
+                              eps: float = 1e-5, tile_f: int = 256
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """int4-pack chain for a BATCH: x [B, T, D] (T <= 8), ctx [B, N, 6, D]
+    -> (y [B, T, D], new_ctx [B, N, 6, D]).  The batch lives inside the
+    kernel rows, so the int4 weights stream once per tile for all rows."""
+    bsz, t, d = x.shape
+    n = packed["vecs"].shape[0]
     f = packed["w1q"].shape[2]
-    t = x.shape[0]
     assert t <= 8
     t8 = 8
     tile_f = min(tile_f, f)
     nt = -(-f // tile_f)
-    x_pad = jnp.pad(x, ((0, t8 - t), (0, 0)))
-    ctx_pad = jnp.pad(ctx, ((0, 0), (0, 8 - CTX), (0, 0)))
+    x_pad = jnp.pad(x, ((0, 0), (0, t8 - t), (0, 0)))
+    ctx_pad = jnp.pad(ctx, ((0, 0), (0, 0), (0, 8 - CTX), (0, 0)))
 
-    kernel = functools.partial(_kernel_q, t=t, d=d, tile_f=tile_f, eps=eps)
+    kernel = functools.partial(_kernel_q, bsz=bsz, t=t, d=d, tile_f=tile_f,
+                               eps=eps)
     y, new_ctx = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
@@ -301,26 +310,34 @@ def _fused_block_chain_q(packed, x: jnp.ndarray, ctx: jnp.ndarray,
             pl.BlockSpec((1, 2, tile_f), lambda ib, it: (ib, 0, it)),
             pl.BlockSpec((1, tile_f // 2, d), lambda ib, it: (ib, it, 0)),
             pl.BlockSpec((1, 1, d), lambda ib, it: (ib, 0, 0)),
-            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
-            pl.BlockSpec((t8, d), lambda ib, it: (0, 0)),
+            pl.BlockSpec((bsz, 1, 8, d), lambda ib, it: (0, ib, 0, 0)),
+            pl.BlockSpec((bsz, t8, d), lambda ib, it: (0, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((t8, d), lambda ib, it: (0, 0)),
-            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
+            pl.BlockSpec((bsz, t8, d), lambda ib, it: (0, 0, 0)),
+            pl.BlockSpec((bsz, 1, 8, d), lambda ib, it: (0, ib, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t8, d), x.dtype),
-            jax.ShapeDtypeStruct((n, 8, d), ctx.dtype),
+            jax.ShapeDtypeStruct((bsz, t8, d), x.dtype),
+            jax.ShapeDtypeStruct((bsz, n, 8, d), ctx.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((t8, d), jnp.float32),
-            pltpu.VMEM((t8, d), jnp.float32),
-            pltpu.VMEM((t8, d), jnp.float32),
-            pltpu.VMEM((t8, d), jnp.float32),
+            pltpu.VMEM((bsz * t8, d), jnp.float32),
+            pltpu.VMEM((bsz * t8, d), jnp.float32),
+            pltpu.VMEM((bsz * t8, d), jnp.float32),
+            pltpu.VMEM((bsz * t8, d), jnp.float32),
         ],
     )(packed["vecs"], packed["mixw"], packed["w1q"], packed["sb1"],
       packed["w2q"], packed["s2"], ctx_pad, x_pad)
-    return y[:t], new_ctx[:, :CTX]
+    return y[:, :t], new_ctx[:, :, :CTX]
+
+
+def _fused_block_chain_q(packed, x: jnp.ndarray, ctx: jnp.ndarray,
+                         eps: float, tile_f: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    y, new_ctx = fused_block_chain_batched(packed, x[None], ctx[None],
+                                           eps=eps, tile_f=tile_f)
+    return y[0], new_ctx[0]
 
 
 def fused_block_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
@@ -375,4 +392,5 @@ def fused_block_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     return y[:t], new_ctx[:, :CTX]
 
 
-__all__ = ["pack_stage", "pack_stage_q", "fused_block_chain", "CTX"]
+__all__ = ["pack_stage", "pack_stage_q", "fused_block_chain",
+           "fused_block_chain_batched", "CTX"]
