@@ -121,9 +121,9 @@ def main():
         "config": "bf16, 5-step sde-dpmsolver++ (reference gradio production config)",
         "opt_in_modes_measured_this_round": {
             "int8 LM": 26.8,
-            "int4f LM + int4-chain sigma-VAE deep stages (B=1 best)": 37.7,
+            "int4f LM + int4-chain sigma-VAE deep stages (B=1 best)": 37.75,
             "int4 LM + int8 sigma-VAE stacks": 33.8,
-            "batch8 int8 LM + int8 sigma-VAE + fused stage kernel audio-sec/s": 195.4},
+            "batch8 int8 LM + int4k + fused stage kernel audio-sec/s": 198.6},
     }))
 
 
