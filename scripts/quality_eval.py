@@ -83,6 +83,10 @@ CANDIDATES = {
     "tok4": dict(quantize_tokenizer="int4"),
     "int4+tok8": dict(quantize="int4", quantize_tokenizer="int8"),
     "int4+tok4": dict(quantize="int4", quantize_tokenizer="int4"),
+    # the r3 serving recommendations
+    "int4k": dict(quantize_tokenizer="int4k"),
+    "int4f+int4k": dict(quantize="int4f", quantize_tokenizer="int4k"),
+    "int8+int4k": dict(quantize="int8", quantize_tokenizer="int4k"),
 }
 
 
@@ -148,8 +152,10 @@ def main():
                 eos_id=tts.tokenizer.eos_id, ddpm_steps=tts.ddpm_steps,
                 cfg_scale=tts.cfg_scale, algorithm_type=tts.algorithm_type,
                 force_diffusion=True)
+            chain = getattr(tts, "_chain_packs", None) is not None
             eng = G.Engine(tts.params, tts.cfg, gcfg, max_steps=max_new, batch=1,
-                           prompt_len=512, dtype=tts.dtype, kv_dtype=tts.kv_dtype)
+                           prompt_len=512, dtype=tts.dtype, kv_dtype=tts.kv_dtype,
+                           use_fused_vocoder=chain, use_fused_semantic=chain)
             tts._engine = lambda b, p, m: eng
         res, metrics = tts.generate(script, voices[:1], max_new_tokens=max_new,
                                     seed=args.seed)

@@ -25,9 +25,10 @@ def main() -> None:
     ap.add_argument("--batch_sizes", type=int, nargs="+", default=[1])
     ap.add_argument("--prompt_buckets", type=int, nargs="+", default=None)
     ap.add_argument("--max_new_tokens", type=int, nargs="+", default=[256])
-    ap.add_argument("--quantize", default=None, choices=[None, "int8", "int4"])
+    ap.add_argument("--quantize", default=None,
+                    choices=[None, "int8", "int4", "int4f"])
     ap.add_argument("--quantize_tokenizer", default=None,
-                    choices=[None, "int8", "int4"],
+                    choices=[None, "int8", "int4", "int4k"],
                     help="σ-VAE stack quantization (vocoder + semantic encoder)")
     ap.add_argument("--kv_dtype", default="model", choices=["model", "int8"])
     ap.add_argument("--ddpm_steps", type=int, default=5)
