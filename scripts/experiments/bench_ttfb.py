@@ -34,17 +34,34 @@ frame_sec = hop / 24000.0
 params = jax.jit(lambda k: vibevoice.init_model(k, cfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
 params["speech_scaling_factor"] = jnp.asarray(1.0)
 params["speech_bias_factor"] = jnp.asarray(0.0)
+TOK = os.environ.get("TOK") or None  # int8 | int4 | int4k (sigma-VAE stacks)
+eng_kw = {}
+if TOK == "int4k":
+    from vibevoice_tpu.models import tokenizer as tokmod
+    voc = tokmod.pack_decoder_stages(params["acoustic_decoder"],
+                                     cfg.acoustic_tokenizer, quant="int4")
+    sem = tokmod.pack_encoder_stages(params["semantic_encoder"],
+                                     cfg.semantic_tokenizer, chunk_t=hop,
+                                     quant="int4")
+    TOKM, skip = "int8", {"acoustic_decoder": set(voc), "semantic_encoder": set(sem)}
+    eng_kw = dict(use_fused_vocoder=True, use_fused_semantic=True)
+else:
+    TOKM, skip, voc, sem = TOK, None, None, None
 if W != "bf16":
-    params = quantize_model(params, True, mode=W)
+    params = quantize_model(params, True, mode=W, tokenizer_mode=TOKM,
+                            tokenizer_skip=skip)
+if voc is not None:
+    params = dict(params)
+    params["_vocoder_packs"], params["_semantic_packs"] = voc, sem
 _ = float(np.asarray(jax.tree_util.tree_leaves(params)[0]).reshape(-1)[0])
-print(f"init done (prompt={PROMPT} W={W})", flush=True)
+print(f"init done (prompt={PROMPT} W={W} TOK={TOK})", flush=True)
 
 gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          speech_diffusion_id=151654, eos_id=151643,
                          ddpm_steps=5, algorithm_type="sde-dpmsolver++",
                          force_diffusion=True)
 eng = G.Engine(params, cfg, gen, max_steps=512, batch=1, prompt_len=PROMPT,
-               dtype=jnp.bfloat16)
+               dtype=jnp.bfloat16, **eng_kw)
 ids = np.zeros((1, PROMPT), np.int32)
 mask = np.ones((1, PROMPT), np.int32)
 sim = np.zeros((1, PROMPT), bool)
