@@ -78,8 +78,34 @@ params["speech_bias_factor"] = jnp.asarray(0.0)
 params["lm"]["layers"] = layers
 params["diffusion_head"] = jax.jit(quantize_diffusion_head)(params["diffusion_head"])
 # TOK=int8: quantize the per-frame sigma-VAE stacks too (r3 — halves their
-# per-frame reads AND frees ~0.65 GB of the 16 GB chip)
-if os.environ.get("TOK"):
+# per-frame reads AND frees ~0.65 GB of the 16 GB chip).  TOK=int4k: deep
+# stages as int4-weight batched chain kernels (quarter-bf16 reads, one
+# launch per stage) + int8 elsewhere — the measured-best B=1 sigma-VAE mode.
+_eng_kw = {}
+if os.environ.get("TOK") == "int4k":
+    from vibevoice_tpu.models import tokenizer as tokmod
+    from vibevoice_tpu.utils.quantize import quantize_tokenizers
+    _voc = tokmod.pack_decoder_stages(params["acoustic_decoder"],
+                                      cfg.acoustic_tokenizer, quant="int4")
+    _sem = tokmod.pack_encoder_stages(params["semantic_encoder"],
+                                      cfg.semantic_tokenizer, chunk_t=hop,
+                                      quant="int4")
+    params = quantize_tokenizers(
+        params, mode="int8",
+        skip={"acoustic_decoder": set(_voc), "semantic_encoder": set(_sem)})
+    params = dict(params)
+    params["_vocoder_packs"], params["_semantic_packs"] = _voc, _sem
+    # drop the packed stages' tree FFN weights (HBM headroom matters at 7B)
+    for _name, _packs in (("acoustic_decoder", _voc), ("semantic_encoder", _sem)):
+        _stack = dict(params[_name]); _stages = list(_stack["stages"])
+        for _i in _packs:
+            _stages[_i] = [dict(bp, ffn1=dict(bp["ffn1"], w=None),
+                                ffn2=dict(bp["ffn2"], w=None))
+                           for bp in _stages[_i]]
+        _stack["stages"] = _stages
+        params[_name] = _stack
+    _eng_kw = dict(use_fused_vocoder=True, use_fused_semantic=True)
+elif os.environ.get("TOK"):
     from vibevoice_tpu.utils.quantize import quantize_tokenizers
     params = quantize_tokenizers(params, mode=os.environ["TOK"])
 # int8 embedding table (per-row scales) — memory lever for the 16 GB chip
@@ -114,7 +140,7 @@ t0 = time.perf_counter()
 eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=B,
                prompt_len=prompt_len, dtype=jnp.bfloat16,
                keep_audio=False,  # serving mode: chunks stream per step
-               kv_dtype=kv_dtype)
+               kv_dtype=kv_dtype, **_eng_kw)
 print(f"engine built (cache {ctx}): {time.perf_counter()-t0:.1f}s "
       f"flash_prefill={eng.use_flash_prefill} flash_decode={eng.use_flash_decode}", flush=True)
 
