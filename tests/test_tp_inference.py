@@ -157,3 +157,61 @@ def test_tp_sharded_decode_matches_unsharded():
     assert len(q.sharding.device_set) == 2  # actually sharded
     np.testing.assert_allclose(audio_tp, audio_ref, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(state2.tokens), np.asarray(state.tokens))
+
+
+def test_tp_sharded_int8_matches_unsharded_int8(interpret_pallas):
+    """The realistic multi-chip deployment: int8-quantized params sharded
+    over the model axis (7B bf16 does not fit a 16 GB chip, so TP serving
+    runs int8).  `shard_params` adapts the plain specs to the quantized
+    tree (packed matrices keep the weight spec; per-output-channel scales
+    follow the OUT axis).  Must match the unsharded int8 run exactly."""
+    assert len(jax.devices()) >= 8
+    from vibevoice_tpu.utils.quantize import quantize_model
+
+    cfg = tiny_config()
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    qparams = quantize_model(params, cfg.decoder.tie_word_embeddings, mode="int8")
+
+    ids = np.random.default_rng(0).integers(5, 90, (1, 16)).astype(np.int32)
+    mask = np.ones((1, 16), np.int32)
+    sim = np.zeros((1, 16), bool)
+    rng = jax.random.PRNGKey(7)
+
+    def run(p):
+        gen = G.GenerationConfig(speech_start_id=100, speech_end_id=101,
+                                 speech_diffusion_id=102, eos_id=1,
+                                 ddpm_steps=3, force_diffusion=True)
+        eng = G.Engine(p, cfg, gen, max_steps=6, batch=1, prompt_len=16,
+                       use_flash_prefill=True, use_flash_decode=True)
+        state, _ = eng.prefill(ids, mask, sim, rng=rng)
+        state, _ = eng.decode_chunk(state, 5)
+        return eng, np.asarray(state.audio), np.asarray(state.tokens)
+
+    eng_ref, audio_ref, tok_ref = run(qparams)
+    assert eng_ref.mesh is None
+
+    mesh = M.make_mesh(data=1, model=2)
+    sharded = M.shard_params(qparams, mesh, cfg=cfg)
+    # col-split weights carry model-sharded scales, row-split replicate them
+    lp = sharded["lm"]["layers"][0]
+    assert "model" in str(lp["q"]["w"]["qint8"].sharding.spec)
+    assert "model" in str(lp["q"]["w"]["scale"].sharding.spec)
+    assert "model" not in str(lp["o"]["w"]["scale"].sharding.spec)
+
+    eng_tp, audio_tp, tok_tp = run(sharded)
+    assert eng_tp.mesh is mesh
+    np.testing.assert_array_equal(tok_tp, tok_ref)
+    np.testing.assert_allclose(audio_tp, audio_ref, atol=2e-5)
+
+
+def test_adapt_specs_rejects_int4_fused_layout():
+    from vibevoice_tpu.utils.quantize import quantize_model
+    import pytest as _pytest
+    cfg = tiny_config()
+    params = vibevoice.init_model(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_model(params, cfg.decoder.tie_word_embeddings, mode="int4")
+    specs = M.model_param_specs(qparams, cfg)
+    with _pytest.raises((ValueError, KeyError)):
+        M.adapt_specs_to_quantized(qparams, specs)

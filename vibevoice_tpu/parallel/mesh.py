@@ -91,9 +91,39 @@ def model_param_specs(params: Dict[str, Any], cfg: VibeVoiceConfig) -> Dict[str,
     return specs
 
 
+def adapt_specs_to_quantized(params, specs):
+    """Reconcile plain-weight partition specs with an int8-quantized param
+    tree (utils/quantize.py): wherever the params hold `{"qint8", "scale"}`
+    in place of a weight array, the packed matrix keeps the weight's spec
+    and the per-output-channel scale takes the OUT axis's sharding (col-split
+    weights shard their scales; row-split weights replicate them).
+
+    The realistic multi-chip deployment is exactly this shape — 7B bf16
+    does not fit a 16 GB v5e, so TP serving runs int8 (+int8 KV).  int4's
+    fused qkv/gateup layout renames keys and is not TP-adapted (use int8
+    for sharded serving).
+    """
+    if isinstance(params, dict) and "qint8" in params:
+        wspec = specs if isinstance(specs, P) else P()
+        out_axis = wspec[-1] if len(wspec) >= 2 else None
+        return {"qint8": wspec, "scale": P(out_axis)}
+    if isinstance(params, dict):
+        if not isinstance(specs, dict):
+            raise ValueError(
+                "param tree has keys the specs lack — int4's fused layout is "
+                "not TP-adaptable; quantize with mode='int8' for sharding")
+        return {k: (adapt_specs_to_quantized(params[k], specs[k])
+                    if k in specs else _replicated_like(params[k]))
+                for k in params}
+    if isinstance(params, list):
+        return [adapt_specs_to_quantized(p, s) for p, s in zip(params, specs)]
+    return specs
+
+
 def shard_params(params, mesh: Mesh, specs=None, cfg: Optional[VibeVoiceConfig] = None):
     if specs is None:
         specs = model_param_specs(params, cfg)
+    specs = adapt_specs_to_quantized(params, specs)
     return jax.tree_util.tree_map(
         lambda x, s: None if x is None else jax.device_put(x, NamedSharding(mesh, s or P())),
         params, specs, is_leaf=lambda x: x is None)
@@ -112,4 +142,4 @@ def batch_specs() -> Dict[str, P]:
 
 
 __all__ = ["make_mesh", "model_param_specs", "qwen2_param_specs",
-           "shard_params", "batch_specs"]
+           "adapt_specs_to_quantized", "shard_params", "batch_specs"]
