@@ -10,10 +10,17 @@ Without `--model_path`, runs the full plumbing on a tiny random model so the
 harness itself stays continuously verified (the environment ships no real
 checkpoint); with one, it is the one-flag-away real measurement:
 
+  # weights-day one command: canonical candidate set + binding verdict
   python scripts/quality_eval.py --model_path /path/to/VibeVoice-1.5B \
       --voices_dir /root/reference/demo/voices \
       --scripts /root/reference/demo/text_examples/2p_short.txt \
-      --candidates int8 int4 sde5
+      --canonical
+
+The run emits a pass/fail verdict per candidate against explicit
+mel-L2/LSD/SNR thresholds (see THRESHOLDS) and auto-recommends the
+serving-mode table (B=1 / B>=2 / tokenizer ladders ordered by measured
+speed) — no judgment calls (`decide()`, dry-run-tested in
+tests/test_quality_verdict.py).
 
 Ref anchors: demo/inference_from_file.py:336-396 (metrics block),
 BASELINE.json waveform/mel allclose north star.
@@ -84,10 +91,91 @@ CANDIDATES = {
     "int4+tok8": dict(quantize="int4", quantize_tokenizer="int8"),
     "int4+tok4": dict(quantize="int4", quantize_tokenizer="int4"),
     # the r3 serving recommendations
+    "int4f": dict(quantize="int4f"),
+    "int4f-g128": dict(quantize="int4f", int4_group_size="auto128"),
     "int4k": dict(quantize_tokenizer="int4k"),
     "int4f+int4k": dict(quantize="int4f", quantize_tokenizer="int4k"),
+    "int4f-g128+int4k": dict(quantize="int4f", int4_group_size="auto128",
+                             quantize_tokenizer="int4k"),
     "int8+int4k": dict(quantize="int8", quantize_tokenizer="int4k"),
 }
+
+# ---------------------------------------------------------------------------
+# Pass/fail decision rule (VERDICT r3 item 5): one command on weights day,
+# no judgment calls.
+#
+# Thresholds (vs the bf16 exact baseline, same seed — quantization noise
+# only, not absolute quality):
+#   * mel_l2  <= 1.0  — mean per-frame L2 over 80 log-mel bins; 1.0 ≈ 1 dB
+#     average mel-band deviation (0.115 nat/bin * sqrt(80)), the classic
+#     transparency bar.
+#   * lsd_db  <= 1.0  — log-spectral distance; <1 dB is the codec-literature
+#     threshold for "perceptually transparent" spectral distortion.
+#   * snr_db  >= 20   — quantization error >=20 dB below signal.  (The int4
+#     harness smoke on well-behaved random weights measures ~52 dB; real
+#     outlier-bearing weights are the open question the run decides.)
+#
+# Mode ladders are ordered by MEASURED speed (PERFORMANCE.md): the first
+# candidate that passes all thresholds on every script wins.  Candidates not
+# measured in this run are skipped (run the canonical full set below to make
+# the recommendation binding).
+# ---------------------------------------------------------------------------
+
+THRESHOLDS = {"mel_l2_max": 1.0, "lsd_max_db": 1.0, "snr_min_db": 20.0}
+
+# best-performance-first ladders; "bf16" = exact numerics, always passes
+LADDER_B1 = ["int4f+int4k", "int4f-g128+int4k", "int4f", "int4f-g128",
+             "int8+int4k", "int8", "bf16"]
+LADDER_BATCH = ["int8+int4k", "int8", "bf16"]   # int8 LM wins at B>=2
+LADDER_TOKENIZER = ["int4k", "tok8", "bf16"]    # σ-VAE quantization alone
+
+# the weights-day one-command candidate set
+CANONICAL_CANDIDATES = ["int4f+int4k", "int4f-g128+int4k", "int4f",
+                        "int4f-g128", "int8+int4k", "int8", "int4k", "tok8"]
+
+
+def decide(measured, thresholds=None):
+    """measured: {candidate: [per-script metric dicts with mel_l2/lsd_db/snr_db]}.
+
+    Returns {"thresholds", "verdicts": {cand: {"pass", "fails"}},
+    "recommended": {"B1", "B>=2", "tokenizer"}} — the serving-mode table
+    implied by the quality run (see module comment for the rule).
+    """
+    th = dict(THRESHOLDS)
+    th.update(thresholds or {})
+    verdicts = {}
+    for cand, metric_list in measured.items():
+        fails = []
+        for i, m in enumerate(metric_list):
+            def _f(v):
+                return float("inf") if v in ("inf", None) else float(v)
+            if _f(m["mel_l2"]) > th["mel_l2_max"]:
+                fails.append(f"script{i}: mel_l2 {m['mel_l2']} > {th['mel_l2_max']}")
+            if _f(m["lsd_db"]) > th["lsd_max_db"]:
+                fails.append(f"script{i}: lsd_db {m['lsd_db']} > {th['lsd_max_db']}")
+            snr = m["snr_db"]
+            snr = float("inf") if snr == "inf" else float(snr)
+            if snr < th["snr_min_db"]:
+                fails.append(f"script{i}: snr_db {m['snr_db']} < {th['snr_min_db']}")
+        verdicts[cand] = {"pass": not fails, "fails": fails}
+
+    def pick(ladder):
+        for c in ladder:
+            if c == "bf16":
+                return "bf16 (exact numerics)"
+            v = verdicts.get(c)
+            if v is None:
+                continue  # not measured this run
+            if v["pass"]:
+                return c
+        return "bf16 (exact numerics)"
+
+    return {
+        "thresholds": th,
+        "verdicts": verdicts,
+        "recommended": {"B1": pick(LADDER_B1), "B>=2": pick(LADDER_BATCH),
+                        "tokenizer": pick(LADDER_TOKENIZER)},
+    }
 
 
 def main():
@@ -98,6 +186,12 @@ def main():
     ap.add_argument("--voices_dir", default="/root/reference/demo/voices")
     ap.add_argument("--candidates", nargs="*", default=["int8", "int4"],
                     choices=sorted(CANDIDATES), help="configs to compare vs baseline")
+    ap.add_argument("--canonical", action="store_true",
+                    help="run the weights-day canonical candidate set and emit "
+                         "the binding mode recommendation")
+    ap.add_argument("--mel_l2_max", type=float, default=THRESHOLDS["mel_l2_max"])
+    ap.add_argument("--lsd_max_db", type=float, default=THRESHOLDS["lsd_max_db"])
+    ap.add_argument("--snr_min_db", type=float, default=THRESHOLDS["snr_min_db"])
     ap.add_argument("--ddpm_steps", type=int, default=10)
     ap.add_argument("--cfg_scale", type=float, default=1.3)
     ap.add_argument("--max_new_tokens", type=int, default=None)
@@ -174,7 +268,9 @@ def main():
         _save(base, audio, os.path.join(args.output_dir, f"baseline_{name}.wav"))
 
     # ---- candidates -------------------------------------------------------
-    for cand in args.candidates:
+    candidates = CANONICAL_CANDIDATES if args.canonical else args.candidates
+    measured = {}
+    for cand in candidates:
         kw = dict(CANDIDATES[cand])
         ddpm = kw.pop("ddpm_steps", None)
         gs = kw.pop("int4_group_size", None)
@@ -190,7 +286,21 @@ def main():
             m["rtf"] = round(metrics["rtf"], 2)
             results[f"{cand}/{name}"] = {k: (round(v, 4) if np.isfinite(v) else "inf")
                                          for k, v in m.items()}
+            measured.setdefault(cand, []).append(results[f"{cand}/{name}"])
             _save(tts, audio, os.path.join(args.output_dir, f"{cand}_{name}.wav"))
+
+    # ---- pass/fail verdict + serving-mode recommendation ------------------
+    # (sde5 is a solver-config candidate, not a quantization mode: its delta
+    # vs the baseline is the step-count change itself, so it is excluded
+    # from the quantization pass/fail rule)
+    verdict = decide({c: ms for c, ms in measured.items() if c != "sde5"},
+                     {"mel_l2_max": args.mel_l2_max, "lsd_max_db": args.lsd_max_db,
+                      "snr_min_db": args.snr_min_db})
+    results["verdict"] = verdict
+    if not args.model_path:
+        results["verdict"]["note"] = (
+            "random-weight plumbing dry-run — NOT a quality statement; rerun "
+            "with --model_path and --canonical on a real checkpoint")
 
     # ---- optional torch-reference A/B --------------------------------------
     if args.compare_reference:

@@ -214,3 +214,66 @@ def test_add_noise_and_velocity(reference_path):
         np.asarray(ds.get_velocity(tab, jnp.asarray(x.numpy()), jnp.asarray(n.numpy()),
                                    jnp.asarray(t.numpy()))),
         ref.get_velocity(x, n, t).numpy(), atol=1e-6)
+
+
+def test_trained_betas_trajectory_matches(reference_path):
+    """trained_betas surface (ref dpm_solver.py:139,209,232-233): a custom
+    beta table replaces the schedule formula end to end."""
+    torch.manual_seed(3)
+    steps = 8
+    n = 1000
+    rng = np.random.default_rng(0)
+    betas = np.sort(rng.uniform(1e-4, 0.02, n)).astype(np.float32)
+    ref = _ref_scheduler(reference_path, num_train_timesteps=n,
+                         trained_betas=betas, prediction_type="v_prediction")
+    ref.set_timesteps(steps)
+    cfg = ds.SolverConfig(num_train_timesteps=n, prediction_type="v_prediction",
+                          trained_betas=tuple(float(b) for b in betas))
+    tab = ds.make_tables(cfg)
+    np.testing.assert_allclose(tab.alphas_cumprod, ref.alphas_cumprod.numpy(), rtol=1e-5)
+    sched = ds.set_timesteps(cfg, tab, steps)
+    np.testing.assert_array_equal(np.asarray(sched.timesteps), ref.timesteps.numpy())
+
+    x_ref = torch.randn(2, 64)
+    x = jnp.asarray(x_ref.numpy())
+    outs = [torch.randn(2, 64) for _ in range(steps)]
+    state = ds.init_state(cfg, x.shape)
+    for i, t in enumerate(ref.timesteps):
+        x_ref = ref.step(outs[i], t, x_ref).prev_sample
+        x, state = ds.step(cfg, sched, jnp.int32(i), state, jnp.asarray(outs[i].numpy()), x)
+    np.testing.assert_allclose(np.asarray(x), x_ref.numpy(), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("algorithm", ["dpmsolver++", "dpmsolver"])
+def test_thresholding_trajectory_matches(reference_path, algorithm):
+    """Dynamic thresholding surface (ref :148-154,212-215,:425-457): clamp
+    the x0 prediction to its 0.995 abs percentile each step.  Outputs are
+    scaled up so the threshold actually activates (s > 1)."""
+    torch.manual_seed(4)
+    steps = 6
+    kw = dict(num_train_timesteps=1000, beta_schedule="cosine",
+              prediction_type="epsilon", thresholding=True,
+              dynamic_thresholding_ratio=0.9, sample_max_value=1.5)
+    if algorithm == "dpmsolver":
+        kw["algorithm_type"] = "dpmsolver"
+        kw["final_sigmas_type"] = "sigma_min"
+    ref = _ref_scheduler(reference_path, **kw)
+    ref.set_timesteps(steps)
+    cfg = ds.SolverConfig(num_train_timesteps=1000, beta_schedule="cosine",
+                          prediction_type="epsilon", thresholding=True,
+                          dynamic_thresholding_ratio=0.9, sample_max_value=1.5,
+                          algorithm_type=algorithm,
+                          final_sigmas_type=("sigma_min" if algorithm == "dpmsolver"
+                                             else "zero"))
+    sched = ds.set_timesteps(cfg, ds.make_tables(cfg), steps)
+
+    # the reference's _threshold_sample unpacks (batch, channels, *rest), so
+    # it only accepts >=3-D samples; use an image-shaped latent here
+    x_ref = 4.0 * torch.randn(2, 4, 16)
+    x = jnp.asarray(x_ref.numpy())
+    outs = [2.0 * torch.randn(2, 4, 16) for _ in range(steps)]
+    state = ds.init_state(cfg, x.shape)
+    for i, t in enumerate(ref.timesteps):
+        x_ref = ref.step(outs[i], t, x_ref).prev_sample
+        x, state = ds.step(cfg, sched, jnp.int32(i), state, jnp.asarray(outs[i].numpy()), x)
+    np.testing.assert_allclose(np.asarray(x), x_ref.numpy(), atol=2e-5, rtol=1e-5)

@@ -256,7 +256,20 @@ class Engine:
         )
         self.tables = ds.make_tables(self.solver_cfg)
         self.sched = ds.set_timesteps(self.solver_cfg, self.tables, gen.ddpm_steps)
-        self.token_bias = jnp.asarray(_token_bias(cfg.decoder.vocab_size, gen))
+        # constrained logits head: only the control tokens are selectable
+        # (ref VibeVoiceTokenConstraintProcessor :54-67), so the per-step
+        # logits matmul gathers JUST those head columns — identical argmax,
+        # minus a full [H, V] weight read per step (466 MB bf16 at 1.5B)
+        allowed = [gen.speech_start_id, gen.speech_end_id,
+                   gen.speech_diffusion_id, gen.eos_id]
+        if gen.bos_id is not None:
+            allowed.append(gen.bos_id)
+        self.allowed_ids = jnp.asarray(sorted(set(allowed)), jnp.int32)
+        if "_lm_head_sub" not in params:
+            params = dict(params)
+            params["_lm_head_sub"] = vibevoice.lm_head_subset(
+                params, sorted(set(allowed)), dtype)
+            self.params = params
 
         self._prefill = jax.jit(self._prefill_impl)
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
@@ -297,8 +310,12 @@ class Engine:
         b = h_t.shape[0]
         hop = self.hop
 
-        logits = vibevoice.lm_logits(p, cfg, h_t).astype(jnp.float32) + self.token_bias
-        next_tok = select_token(logits, state.rng, state.step, gen.do_sample)
+        # constrained subset logits (see __init__): [B, n_allowed] columns of
+        # the head, bitwise-equal to the full matmul's corresponding columns;
+        # ids sorted ascending so subset argmax == bias-masked full argmax
+        logits = vibevoice.lm_logits_subset(p["_lm_head_sub"], h_t).astype(jnp.float32)
+        sel = select_token(logits, state.rng, state.step, gen.do_sample)
+        next_tok = self.allowed_ids[sel]
         if gen.force_diffusion:
             next_tok = jnp.full_like(next_tok, gen.speech_diffusion_id)
         next_tok = jnp.where(state.finished, gen.eos_id, next_tok)

@@ -204,39 +204,33 @@ def _layer(lp: Params, cfg: Qwen2Config, x: jnp.ndarray,
         if quant:
             k2, k_sc = _quantize_slots(k2)   # [B,T,F] int8, [B,T]
             v2, v_sc = _quantize_slots(v2)
-        if pos.ndim == 0:
-            # uniform write position: a single dynamic_update_slice on the
-            # full buffer — XLA aliases it in place (no cache copy).
-            # row_off (static) lets prefill write a sub-range of the cache
-            # rows (positive stream at [0:B], CFG pre-seed at [B:2B]) so the
-            # unified cache is allocated ONCE, never concatenated.
-            li_ = jnp.int32(li)
-            z = jnp.int32(0)
-            ro = jnp.int32(row_off)
-            k_full = lax.dynamic_update_slice(
-                k_full, k2.astype(k_full.dtype)[None], (li_, ro, pos, z))
-            v_full = lax.dynamic_update_slice(
-                v_full, v2.astype(v_full.dtype)[None], (li_, ro, pos, z))
-            if quant:
-                # scale slabs [1, B, 8, T] at (li, row_off, 0, pos)
-                ks_slab = jnp.broadcast_to(k_sc[:, None, :], (b, 8, t))[None]
-                vs_slab = jnp.broadcast_to(v_sc[:, None, :], (b, 8, t))[None]
-                ks_full = lax.dynamic_update_slice(ks_full, ks_slab.astype(ks_full.dtype),
-                                                   (li_, ro, z, pos))
-                vs_full = lax.dynamic_update_slice(vs_full, vs_slab.astype(vs_full.dtype),
-                                                   (li_, ro, z, pos))
-        else:
-            # per-sample write positions (legacy path; lowers to scatter)
-            if quant:
-                raise NotImplementedError("per-sample writes with int8 KV cache")
-            def _wr(c, kk, p):
-                return lax.dynamic_update_slice(c, kk, (p, 0))
-            upd = jax.vmap(_wr)(k_full[li, row_off:row_off + b],
-                                k2.astype(k_full.dtype), pos)
-            k_full = k_full.at[li, row_off:row_off + b].set(upd)
-            upd_v = jax.vmap(_wr)(v_full[li, row_off:row_off + b],
-                                  v2.astype(v_full.dtype), pos)
-            v_full = v_full.at[li, row_off:row_off + b].set(upd_v)
+        # uniform write position only: a single dynamic_update_slice on the
+        # full buffer — XLA aliases it in place (no cache copy).  Left-padded
+        # batching makes every sample share the slot clock, so per-sample
+        # write positions (which would lower to cache-sized scatters and
+        # defeat aliasing) are deliberately unsupported.
+        # row_off (static) lets prefill write a sub-range of the cache
+        # rows (positive stream at [0:B], CFG pre-seed at [B:2B]) so the
+        # unified cache is allocated ONCE, never concatenated.
+        if pos.ndim != 0:
+            raise ValueError(
+                "write_pos must be a scalar slot (uniform across samples); "
+                "left-pad the batch so all samples share the slot clock")
+        li_ = jnp.int32(li)
+        z = jnp.int32(0)
+        ro = jnp.int32(row_off)
+        k_full = lax.dynamic_update_slice(
+            k_full, k2.astype(k_full.dtype)[None], (li_, ro, pos, z))
+        v_full = lax.dynamic_update_slice(
+            v_full, v2.astype(v_full.dtype)[None], (li_, ro, pos, z))
+        if quant:
+            # scale slabs [1, B, 8, T] at (li, row_off, 0, pos)
+            ks_slab = jnp.broadcast_to(k_sc[:, None, :], (b, 8, t))[None]
+            vs_slab = jnp.broadcast_to(v_sc[:, None, :], (b, 8, t))[None]
+            ks_full = lax.dynamic_update_slice(ks_full, ks_slab.astype(ks_full.dtype),
+                                               (li_, ro, z, pos))
+            vs_full = lax.dynamic_update_slice(vs_full, vs_slab.astype(vs_full.dtype),
+                                               (li_, ro, z, pos))
         new_cache = KVCache(k=k_full, v=v_full, k_scale=ks_full, v_scale=vs_full)
         use_kernel = decode_ctx is not None and t == 1
 

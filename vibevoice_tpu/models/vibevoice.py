@@ -56,6 +56,46 @@ def lm_logits(params: Params, cfg: VibeVoiceConfig, hidden: jnp.ndarray) -> jnp.
     return qwen2.logits(params["lm"], cfg.decoder, hidden, params["lm_head"])
 
 
+def lm_head_subset(params: Params, ids, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Column subset of the logits head for the constrained decode vocab.
+
+    During generation only the 4-5 control tokens are ever selectable (ref
+    `VibeVoiceTokenConstraintProcessor`
+    modeling_vibevoice_inference.py:54-67, valid set :405-413), yet a full
+    logits matmul reads the whole [H, V] head — 466 MB bf16 at 1.5B — every
+    decode step.  Gathering the allowed columns ONCE reduces the per-step
+    head read to [H, n].  Each subset column is computed with the identical
+    reduction (same dtype path, same per-column dot) as the full matmul, so
+    argmax over the subset equals argmax over the bias-masked full vocab
+    (ids are sorted ascending, preserving lowest-index tie-breaking).
+
+    Returns {"q": int8 [H, n], "scale": [n]} for int8 heads or
+    {"w": [H, n]} otherwise; feed to `lm_logits_subset`.
+    """
+    import numpy as np
+    ids = np.asarray(sorted(set(int(i) for i in ids)), np.int32)
+    head = params.get("lm_head")
+    if head is None:
+        e = params["lm"]["embed"]
+        if isinstance(e, dict):  # int8 embed, per-row scales (rows = vocab)
+            return {"q": jnp.transpose(e["qint8"][ids]), "scale": e["scale"][ids]}
+        return {"w": jnp.transpose(e[ids])}
+    if isinstance(head, dict):
+        if "qint4" in head:
+            from ..ops.int4_matmul import dequant_int4_xla
+            sub = dequant_int4_xla(head["qint4"][:, ids], head["scale4"][:, ids], dtype)
+            return {"w": sub}
+        return {"q": head["qint8"][:, ids], "scale": head["scale"][ids]}
+    return {"w": head[:, ids]}
+
+
+def lm_logits_subset(sub: Dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:
+    """Logits over the allowed-token subset (see `lm_head_subset`)."""
+    if "q" in sub:
+        return (hidden @ sub["q"].astype(hidden.dtype)) * sub["scale"].astype(hidden.dtype)
+    return hidden @ sub["w"].astype(hidden.dtype)
+
+
 # ---------------------------------------------------------------------------
 # CFG diffusion sampling (inference hot loop)
 # ---------------------------------------------------------------------------
@@ -286,6 +326,8 @@ def training_forward(
 __all__ = [
     "init_model",
     "lm_logits",
+    "lm_head_subset",
+    "lm_logits_subset",
     "sample_speech_latents",
     "compute_scaling_stats",
     "encode_voice_prompts",

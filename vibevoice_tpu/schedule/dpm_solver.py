@@ -60,6 +60,13 @@ class SolverConfig:
     use_karras_sigmas: bool = False
     use_lu_lambdas: bool = False
     rescale_betas_zero_snr: bool = False
+    # pre-trained beta table (ref dpm_solver.py:139,209,232-233); a tuple so
+    # the config stays hashable (closed over by jit)
+    trained_betas: Optional[Tuple[float, ...]] = None
+    # dynamic thresholding of the x0 prediction (ref :148-154,212-215,:425-457)
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
 
     def __post_init__(self):
         if self.algorithm_type not in _ALGORITHMS:
@@ -137,7 +144,13 @@ class SolverTables(NamedTuple):
 
 def make_tables(cfg: SolverConfig) -> SolverTables:
     n = cfg.num_train_timesteps
-    if cfg.beta_schedule == "linear":
+    if cfg.trained_betas is not None:
+        betas = np.asarray(cfg.trained_betas, dtype=np.float32)
+        if betas.shape != (n,):
+            raise ValueError(
+                f"trained_betas must have length num_train_timesteps={n}, "
+                f"got {betas.shape}")
+    elif cfg.beta_schedule == "linear":
         betas = np.linspace(cfg.beta_start, cfg.beta_end, n, dtype=np.float32)
     elif cfg.beta_schedule == "scaled_linear":
         betas = np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5, n, dtype=np.float32) ** 2
@@ -264,28 +277,53 @@ def _alpha_sigma(sigma):
     return alpha_t, sigma * alpha_t
 
 
+def _threshold_sample(cfg: SolverConfig, sample):
+    """Dynamic thresholding of the x0 prediction (ref _threshold_sample
+    :425-457, arXiv 2205.11487): clamp each sample to its
+    `dynamic_thresholding_ratio` absolute-value percentile s (clipped to
+    [1, sample_max_value]) and divide by s."""
+    shape = sample.shape
+    flat = sample.astype(jnp.float32).reshape(shape[0], -1)
+    s = jnp.quantile(jnp.abs(flat), cfg.dynamic_thresholding_ratio, axis=1)
+    s = jnp.clip(s, 1.0, cfg.sample_max_value)[:, None]
+    out = jnp.clip(flat, -s, s) / s
+    return out.reshape(shape).astype(sample.dtype)
+
+
 def convert_model_output(cfg: SolverConfig, sigma, model_output, sample):
     """ref convert_model_output :528-625.
 
     Data-prediction solvers (++) convert to an x0 prediction; noise-prediction
     solvers (dpmsolver / sde-dpmsolver) convert to an epsilon prediction.
+    With `thresholding`, the x0 prediction is dynamically thresholded
+    (ref :591-592 for ++, :618-622 round-trip for noise solvers).
     """
     alpha_t, sigma_t = _alpha_sigma(sigma)
     if cfg.data_prediction:
         if cfg.prediction_type == "epsilon":
-            return (sample - sigma_t * model_output) / alpha_t
-        if cfg.prediction_type == "sample":
-            return model_output
-        if cfg.prediction_type == "v_prediction":
-            return alpha_t * sample - sigma_t * model_output
+            x0 = (sample - sigma_t * model_output) / alpha_t
+        elif cfg.prediction_type == "sample":
+            x0 = model_output
+        elif cfg.prediction_type == "v_prediction":
+            x0 = alpha_t * sample - sigma_t * model_output
+        else:
+            raise ValueError(cfg.prediction_type)
+        if cfg.thresholding:
+            x0 = _threshold_sample(cfg, x0)
+        return x0
+    if cfg.prediction_type == "epsilon":
+        epsilon = model_output
+    elif cfg.prediction_type == "sample":
+        epsilon = (sample - alpha_t * model_output) / sigma_t
+    elif cfg.prediction_type == "v_prediction":
+        epsilon = alpha_t * model_output + sigma_t * sample
     else:
-        if cfg.prediction_type == "epsilon":
-            return model_output
-        if cfg.prediction_type == "sample":
-            return (sample - alpha_t * model_output) / sigma_t
-        if cfg.prediction_type == "v_prediction":
-            return alpha_t * model_output + sigma_t * sample
-    raise ValueError(cfg.prediction_type)
+        raise ValueError(cfg.prediction_type)
+    if cfg.thresholding:
+        x0 = (sample - sigma_t * epsilon) / alpha_t
+        x0 = _threshold_sample(cfg, x0)
+        epsilon = (sample - alpha_t * x0) / sigma_t
+    return epsilon
 
 
 def _first_order(cfg, coef, m0, sample, noise):
