@@ -136,3 +136,56 @@ def test_generate_without_audio_uses_wpm_ladder():
                         ("Speaker 2", "Great, thanks for asking!")], 12.0)
     assert out[-1].end == 12.0
     assert all(b.start >= a.start for a, b in zip(out, out[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Whisper-path script matching (VERDICT r3 item 7): our matcher vs the
+# reference's structured matcher (caption_generator.py:245-311), driven with
+# identical synthetic transcription segments.  The reference class needs the
+# whisper package only in __init__; the matcher methods are pure.
+# ---------------------------------------------------------------------------
+
+SCRIPT = """Speaker 1: Welcome to the show everyone.
+speaker 2 : Thanks for having me on again.
+
+Speaker 1: High bandwidth memory feeds the matrix unit.
+Speaker 3: And the vector unit handles elementwise work.
+not a speaker line
+Speaker 4:
+"""
+
+TRANS_SEGMENTS = [
+    {"text": " Welcome to the show, everyone!", "start": 0.0, "end": 2.5,
+     "no_speech_prob": 0.01},
+    {"text": "thanks for having me", "start": 2.5, "end": 4.0},
+    {"text": "the memory feeds the matrix unit", "start": 4.0, "end": 7.0,
+     "no_speech_prob": 0.2},
+    {"text": "zzz qqq completely unrelated words", "start": 7.0, "end": 8.0},
+    {"text": "", "start": 8.0, "end": 8.5},
+]
+
+
+@pytest.fixture()
+def ref_whisper_cls(reference_path):
+    from vibevoice.caption.caption_generator import CaptionGenerator as R
+    return R
+
+
+def test_whisper_script_parse_parity(ref_whisper_cls):
+    from vibevoice_tpu.caption.whisper import CaptionGenerator as Ours
+    ref = ref_whisper_cls.__new__(ref_whisper_cls)  # matcher methods are pure
+    got = Ours.parse_script_segments(SCRIPT)
+    want = ref._parse_script_segments(SCRIPT)
+    assert got == want
+
+
+@pytest.mark.parametrize("mapping", [None, {1: "Alice", 3: "Carol"}])
+def test_whisper_script_matching_parity(ref_whisper_cls, mapping):
+    from vibevoice_tpu.caption.whisper import CaptionGenerator as Ours
+    ref = ref_whisper_cls.__new__(ref_whisper_cls)
+    script_segments = ref._parse_script_segments(SCRIPT)
+    want = ref._match_transcription_to_script(TRANS_SEGMENTS, script_segments,
+                                              mapping)
+    got = Ours.match_transcription_to_script(TRANS_SEGMENTS, script_segments,
+                                             mapping)
+    assert got == want

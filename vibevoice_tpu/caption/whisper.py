@@ -63,25 +63,90 @@ class CaptionGenerator:
                 segments.append(CaptionSegment(s["start"], s["end"], s["text"].strip()))
         return segments
 
+    # -- script matching (parity with the reference's structured matcher,
+    #    caption_generator.py:245-311; golden-tested in
+    #    tests/test_caption_parity.py) --------------------------------------
+
+    @staticmethod
+    def parse_script_segments(script: str) -> List[dict]:
+        """Parse 'Speaker N: text' lines into matcher segments
+        (ref _parse_script_segments :245-268: case-insensitive regex,
+        blank/unmatched lines dropped, char length recorded)."""
+        import re
+        segments = []
+        for line in script.strip().split("\n"):
+            line = line.strip()
+            if not line:
+                continue
+            m = re.match(r"^Speaker\s+(\d+)\s*:\s*(.*)$", line, re.IGNORECASE)
+            if m and m.group(2).strip():
+                text = m.group(2).strip()
+                segments.append({"speaker_id": int(m.group(1)), "text": text,
+                                 "length": len(text)})
+        return segments
+
+    @staticmethod
+    def match_transcription_to_script(transcription_segments: Sequence[dict],
+                                      script_segments: Sequence[dict],
+                                      speaker_mapping: Optional[dict] = None) -> List[dict]:
+        """Attach speakers to transcribed segments (ref
+        _match_transcription_to_script :270-311): for EACH transcription
+        segment take the script segment with the highest word-overlap
+        similarity |A∩B| / max(|A|, |B|) over the WHOLE script (no window,
+        no position advance); no match above 0 -> speaker_id 0."""
+        out = []
+        for seg in transcription_segments:
+            trans_text = seg.get("text", "").strip().lower()
+            trans_words = set(trans_text.split())
+            best, best_score = None, 0
+            for sseg in script_segments:
+                script_words = set(sseg["text"].strip().lower().split())
+                if trans_words and script_words:
+                    overlap = len(trans_words & script_words)
+                    similarity = overlap / max(len(trans_words), len(script_words))
+                    if similarity > best_score:
+                        best_score, best = similarity, sseg
+            sid = best["speaker_id"] if best else 0
+            name = (speaker_mapping.get(sid, f"Speaker {sid}") if speaker_mapping
+                    else f"Speaker {sid}")
+            out.append({
+                "start_time": seg.get("start", 0.0),
+                "end_time": seg.get("end", 0.0),
+                "text": seg.get("text", "").strip(),
+                "speaker_id": sid,
+                "speaker_name": name,
+                "confidence": seg.get("no_speech_prob", 0.0),
+            })
+        return out
+
+    def generate_captions_for_script(self, audio_path: str, original_script: str,
+                                     speaker_mapping: Optional[dict] = None) -> dict:
+        """Transcribe + speaker-match against the script (ref
+        generate_captions_for_script :205-243)."""
+        segments = self.transcribe(audio_path)
+        trans = [{"text": s.text, "start": s.start, "end": s.end} for s in segments]
+        script_segments = self.parse_script_segments(original_script)
+        matched = self.match_transcription_to_script(trans, script_segments,
+                                                     speaker_mapping)
+        return {
+            "caption_segments": matched,
+            "speaker_mapping": speaker_mapping or {},
+            "total_duration": max((s.end for s in segments), default=0.0),
+        }
+
     def match_speakers(self, segments: Sequence[CaptionSegment],
                        script_lines: Sequence[Tuple[str, str]]) -> List[CaptionSegment]:
-        """Attach speakers by greedy text alignment against the script."""
+        """CaptionSegment-level convenience over the reference matcher."""
+        script_segments = [
+            {"speaker_id": i, "text": text, "length": len(text)}
+            for i, (_, text) in enumerate(script_lines)]
+        trans = [{"text": s.text, "start": s.start, "end": s.end} for s in segments]
+        matched = self.match_transcription_to_script(trans, script_segments)
         out = []
-        li = 0
-        for seg in segments:
-            best, best_score = None, -1.0
-            for j in range(li, min(li + 3, len(script_lines))):
-                speaker, text = script_lines[j]
-                a = set(seg.text.lower().split())
-                b = set(text.lower().split())
-                score = len(a & b) / max(len(a), 1)
-                if score > best_score:
-                    best, best_score, bj = speaker, score, j
-            if best is not None and best_score > 0.3:
-                li = bj
-                out.append(CaptionSegment(seg.start, seg.end, seg.text, best))
-            else:
-                out.append(seg)
+        for seg, m in zip(segments, matched):
+            sid = m["speaker_id"]
+            speaker = script_lines[sid][0] if 0 <= sid < len(script_lines) else None
+            out.append(CaptionSegment(seg.start, seg.end, seg.text, speaker))
         return out
 
 

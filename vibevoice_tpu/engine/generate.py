@@ -222,8 +222,30 @@ class Engine:
         # (heads/cache stay sharded — a bare pallas_call would make XLA
         # all-gather the full cache on every step).  Auto-detect from the
         # param shardings unless a mesh is passed explicitly.
+        explicit_mesh = mesh is not None
         if mesh is None:
+            # auto-detect a TENSOR-parallel mesh from the param shardings
+            # (a >1 `model` axis; an idle `data` axis alongside it is fine —
+            # the batch stays replicated over it)
             mesh = _mesh_from_params(params)
+        # data-parallel serving (ref per-sample batch semantics
+        # modeling_vibevoice_inference.py:390-399, batch CLI
+        # demo/batch_inference_simple_captions.py): an EXPLICIT mesh with a
+        # >1 `data` axis runs the WHOLE decode step under shard_map over that
+        # axis — each shard serves batch/dp samples with zero per-step
+        # collectives by construction (samples independent; params replicated).
+        self.dp_mesh = None
+        if explicit_mesh and mesh.shape.get("data", 1) > 1:
+            if mesh.shape.get("model", 1) > 1:
+                raise NotImplementedError(
+                    "combined data x model decode sharding is not supported; "
+                    "use a pure-TP mesh for sharded models or a pure-DP mesh "
+                    "for batch serving")
+            dp = mesh.shape["data"]
+            if batch % dp:
+                raise ValueError(f"batch {batch} must divide over data axis {dp}")
+            self.dp_mesh = mesh
+            mesh = None  # the per-shard body runs the ordinary single-mesh path
         self.mesh = mesh
         if mesh is not None:
             mp = mesh.shape.get("model", 1)
@@ -271,9 +293,15 @@ class Engine:
                 params, sorted(set(allowed)), dtype)
             self.params = params
 
-        self._prefill = jax.jit(self._prefill_impl)
-        self._step = jax.jit(self._step_impl, donate_argnums=(1,))
-        self._chunk = jax.jit(self._chunk_impl, donate_argnums=(1,), static_argnums=(2,))
+        if self.dp_mesh is not None:
+            self._prefill = jax.jit(self._prefill_dp_impl)
+            self._step = jax.jit(self._step_dp_impl, donate_argnums=(1,))
+            self._chunk = jax.jit(self._chunk_dp_impl, donate_argnums=(1,),
+                                  static_argnums=(2,))
+        else:
+            self._prefill = jax.jit(self._prefill_impl)
+            self._step = jax.jit(self._step_impl, donate_argnums=(1,))
+            self._chunk = jax.jit(self._chunk_impl, donate_argnums=(1,), static_argnums=(2,))
 
     # ------------------------------------------------------------------
     def _constrain_state(self, state: GenState) -> GenState:
@@ -554,7 +582,7 @@ class Engine:
         place); the negative stream's divergent history is carried entirely
         by the visibility mask."""
         p, cfg = params, self.cfg
-        b = self.batch
+        b = state.cur_embeds.shape[0]  # local batch under DP shard_map
         wp = state.write_pos
 
         # visibility for this forward: each row sees its committed history
@@ -590,6 +618,135 @@ class Engine:
             return s, out
         state, outs = lax.scan(body, state, None, length=n)
         return state, outs
+
+    # ------------------------------------------------------------------
+    # data-parallel decode: the whole step under shard_map over `data`
+    # ------------------------------------------------------------------
+    # Samples are independent (ref per-sample finished/caches
+    # modeling_vibevoice_inference.py:390-399), so DP serving shards every
+    # batch-leading state array over the `data` axis and runs the ordinary
+    # step body per shard — zero per-step cross-replica collectives by
+    # construction (asserted on optimized HLO in tests/test_dp_inference.py).
+    #
+    # The unified cache's 2B rows are [pos_0..pos_{B-1}, neg_0..neg_{B-1}];
+    # a contiguous split of that axis would separate a sample's pos/neg rows
+    # onto different shards, so the DP-carried state keeps those leaves in a
+    # PACKED [.., 2, B, ..] view (`_dp_pack`) whose batch axis shards cleanly;
+    # shard-local reshapes restore the engine layout inside the body.
+    #
+    # RNG: each shard folds its `data` axis index into the key at prefill, so
+    # noise draws are iid across shards. The realized noise therefore differs
+    # from the unsharded engine's single [B]-row draw (same distribution);
+    # parity tests inject latent noise, making DP-vs-unsharded exact.
+
+    @staticmethod
+    def _dp_pack(state: GenState) -> GenState:
+        def r(x):
+            return x.reshape(x.shape[0], 2, x.shape[1] // 2, *x.shape[2:])
+        c = state.cache
+        cache = c._replace(
+            k=r(c.k), v=r(c.v),
+            k_scale=None if c.k_scale is None else r(c.k_scale),
+            v_scale=None if c.v_scale is None else r(c.v_scale))
+        vis = state.visible.reshape(2, state.visible.shape[0] // 2,
+                                    state.visible.shape[1])
+        return state._replace(cache=cache, visible=vis, rng=state.rng[None])
+
+    @staticmethod
+    def _dp_unpack(state: GenState) -> GenState:
+        def r(x):
+            return x.reshape(x.shape[0], 2 * x.shape[2], *x.shape[3:])
+        c = state.cache
+        cache = c._replace(
+            k=r(c.k), v=r(c.v),
+            k_scale=None if c.k_scale is None else r(c.k_scale),
+            v_scale=None if c.v_scale is None else r(c.v_scale))
+        vis = state.visible.reshape(2 * state.visible.shape[1],
+                                    state.visible.shape[2])
+        return state._replace(cache=cache, visible=vis, rng=state.rng[0])
+
+    def _dp_state_specs(self) -> GenState:
+        """PartitionSpecs for the PACKED DP GenState."""
+        from jax.sharding import PartitionSpec as P
+
+        def btree(tpl):
+            return jax.tree_util.tree_map(lambda x: P("data"), tpl)
+
+        ac_tpl = jax.eval_shape(
+            lambda: tokenizer.decoder_state_init(self.cfg.acoustic_tokenizer, 1, self.dtype))
+        sem_tpl = jax.eval_shape(
+            lambda: tokenizer.encoder_state_init(self.cfg.semantic_tokenizer, 1, self.dtype))
+        kv = P(None, None, "data")
+        return GenState(
+            cache=qwen2.KVCache(
+                k=kv, v=kv,
+                k_scale=kv if self.kv_quant else None,
+                v_scale=kv if self.kv_quant else None),
+            visible=P(None, "data"), write_pos=P(),
+            pos_positions=P("data"), neg_first_slot=P("data"),
+            neg_positions=P("data"), neg_started=P("data"),
+            cur_embeds=P("data"), finished=P("data"), reach_max=P("data"),
+            step=P(), max_step_per_sample=P("data"),
+            acoustic_state=btree(ac_tpl), semantic_state=btree(sem_tpl),
+            frames=P("data"), audio=P("data"), emitted=P("data"),
+            tokens=P("data"), rng=P("data"), latent_noise=P(None, "data"))
+
+    def _dp_out_specs(self, scan: bool = False):
+        from jax.sharding import PartitionSpec as P
+        s = P(None, "data") if scan else P("data")
+        return StepOutput(token=s, audio_chunk=s, emitted=s, finished=s)
+
+    def _params_specs(self, params):
+        from jax.sharding import PartitionSpec as P
+        return jax.tree_util.tree_map(lambda _: P(), params)
+
+    def _prefill_dp_impl(self, params, input_ids, attention_mask,
+                         speech_input_mask, speech_tensors, speech_frame_masks,
+                         rng, voice_latents=None, latent_noise=None):
+        from jax.sharding import PartitionSpec as P
+        bspec = P("data")
+
+        def inner(p, ids, mask, sim, st, sfm, key, vl, ln):
+            key = jax.random.fold_in(key, lax.axis_index("data"))
+            state, out = self._prefill_impl(p, ids, mask, sim, st, sfm, key, vl, ln)
+            return self._dp_pack(state), out
+
+        in_specs = (self._params_specs(params), bspec, bspec, bspec,
+                    None if speech_tensors is None else bspec,
+                    None if speech_frame_masks is None else bspec,
+                    P(),
+                    None if voice_latents is None else bspec,
+                    None if latent_noise is None else P(None, "data"))
+        return jax.shard_map(inner, mesh=self.dp_mesh, in_specs=in_specs,
+                             out_specs=(self._dp_state_specs(), self._dp_out_specs()),
+                             check_vma=False)(
+            params, input_ids, attention_mask, speech_input_mask,
+            speech_tensors, speech_frame_masks, rng, voice_latents, latent_noise)
+
+    def _step_dp_impl(self, params, state):
+        def inner(p, st):
+            s, out = self._step_impl(p, self._dp_unpack(st))
+            return self._dp_pack(s), out
+
+        return jax.shard_map(inner, mesh=self.dp_mesh,
+                             in_specs=(self._params_specs(params), self._dp_state_specs()),
+                             out_specs=(self._dp_state_specs(), self._dp_out_specs()),
+                             check_vma=False)(
+            params, state)
+
+    def _chunk_dp_impl(self, params, state, n: int):
+        def inner(p, st):
+            def body(s, _):
+                return self._step_impl(p, s)
+            s, outs = lax.scan(body, self._dp_unpack(st), None, length=n)
+            return self._dp_pack(s), outs
+
+        return jax.shard_map(inner, mesh=self.dp_mesh,
+                             in_specs=(self._params_specs(params), self._dp_state_specs()),
+                             out_specs=(self._dp_state_specs(),
+                                        self._dp_out_specs(scan=True)),
+                             check_vma=False)(
+            params, state)
 
     # ------------------------------------------------------------------
     def prefill(self, input_ids, attention_mask, speech_input_mask,

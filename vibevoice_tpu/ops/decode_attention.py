@@ -175,6 +175,9 @@ def decode_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        # CPU (virtual-mesh dryruns / tests) runs the kernel in interpret
+        # mode natively — no pallas_call monkeypatching needed
+        interpret=jax.default_backend() == "cpu",
     )(*operands)
 
 

@@ -155,6 +155,8 @@ def flash_attention_prefill(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        # CPU (virtual-mesh dryruns / tests) runs in interpret mode natively
+        interpret=jax.default_backend() == "cpu",
     )(row_offset, qt, kt, vt, pad_mask)
 
     out = jnp.swapaxes(out, 1, 2)  # [B, T_pad, H, D]
