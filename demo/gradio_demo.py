@@ -62,12 +62,16 @@ class VibeVoiceDemo:
     def setup_voice_presets(self):
         """Scan voice preset wavs (ref setup_voice_presets :124-163)."""
         self.voice_presets = {}
-        for d in (os.path.join(os.path.dirname(os.path.abspath(__file__)), "voices"),):
+        # repo presets first, then the reference checkout's multilingual
+        # library (zh-/in- recorded voices) when mounted
+        for d in (os.path.join(os.path.dirname(os.path.abspath(__file__)), "voices"),
+                  "/root/reference/demo/voices"):
             if not os.path.isdir(d):
                 continue
             for f in sorted(os.listdir(d)):
                 if f.lower().endswith((".wav", ".mp3", ".flac", ".npy")):
-                    self.voice_presets[os.path.splitext(f)[0]] = os.path.join(d, f)
+                    self.voice_presets.setdefault(os.path.splitext(f)[0],
+                                                  os.path.join(d, f))
         self.available_voices = sorted(self.voice_presets)
 
     def load_example_scripts(self):

@@ -16,17 +16,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+# real recorded multilingual presets (zh-/in-/en- voices); scanned after the
+# repo's own demo/voices so the reference's richer preset library (incl. the
+# Chinese and Hindi voices, ref demo/voices/zh-*.wav, in-Samuel_man.wav) is
+# available wherever the reference checkout is mounted
+REFERENCE_VOICES_DIR = "/root/reference/demo/voices"
+
+
 class VoiceMapper:
     """Map speaker names -> demo/voices/*.wav presets (ref :17-90)."""
 
-    def __init__(self, voices_dir: str | None = None):
+    def __init__(self, voices_dir: str | None = None,
+                 extra_dirs: tuple = (REFERENCE_VOICES_DIR,)):
         self.voices_dir = voices_dir or os.path.join(os.path.dirname(__file__), "voices")
         self.voice_presets = {}
-        if os.path.isdir(self.voices_dir):
-            for f in sorted(os.listdir(self.voices_dir)):
+        for d in (self.voices_dir, *extra_dirs):
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
                 if f.endswith((".wav", ".mp3", ".flac", ".npy")):
                     name = os.path.splitext(f)[0].split("_")[0]
-                    self.voice_presets[name] = os.path.join(self.voices_dir, f)
+                    self.voice_presets.setdefault(name, os.path.join(d, f))
 
     def get_voice_path(self, speaker_name: str) -> str | None:
         if not self.voice_presets:
