@@ -166,6 +166,7 @@ class Engine:
                  use_fused_semantic: bool = False,
                  use_fused_stages: bool = False,
                  fused_stage_t_min: int = 128,
+                 fused_stage_tile: int = 400,
                  keep_audio: bool = True,
                  kv_dtype: str = "model",
                  mesh=None):
@@ -173,6 +174,7 @@ class Engine:
         self.use_fused_vocoder = use_fused_vocoder
         self.use_fused_semantic = use_fused_semantic
         self.use_fused_stages = use_fused_stages
+        self.fused_stage_tile = fused_stage_tile
         # kv_dtype="int8": per-slot symmetric int8 KV cache (half the cache
         # memory and long-context attention reads; dequantized in-kernel)
         if kv_dtype not in ("model", "int8"):
@@ -396,7 +398,8 @@ class Engine:
                 chunk, ac_state2 = tokenizer.decoder_apply_streaming_fused(
                     p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :],
                     acoustic_state, fused_packs=p.get("_vocoder_packs"),
-                    large_packs=p.get("_vocoder_packs_large"))
+                    large_packs=p.get("_vocoder_packs_large"),
+                    tile_want=self.fused_stage_tile)
             else:
                 chunk, ac_state2 = tokenizer.decoder_apply_streaming(
                     p["acoustic_decoder"], cfg.acoustic_tokenizer, scaled[:, None, :], acoustic_state)
@@ -404,7 +407,8 @@ class Engine:
                 sem, sem_state2 = tokenizer.encoder_apply_streaming_fused(
                     p["semantic_encoder"], cfg.semantic_tokenizer, chunk,
                     semantic_state, fused_packs=p.get("_semantic_packs"),
-                    large_packs=p.get("_semantic_packs_large"))
+                    large_packs=p.get("_semantic_packs_large"),
+                    tile_want=self.fused_stage_tile)
             else:
                 sem, sem_state2 = tokenizer.encoder_apply_streaming(
                     p["semantic_encoder"], cfg.semantic_tokenizer, chunk, semantic_state)

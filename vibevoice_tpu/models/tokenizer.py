@@ -269,7 +269,8 @@ def pack_decoder_stages(params: Params, cfg: AcousticTokenizerConfig,
 
 
 def _stage_fused_or_plain(params: Params, cfg, i: int, h: jnp.ndarray, s: list,
-                          fused_packs, large_packs) -> jnp.ndarray:
+                          fused_packs, large_packs,
+                          tile_want: int = 400) -> jnp.ndarray:
     """Apply stage i's Block1D chain via the small-T chain kernel, the tiled
     large-T stage kernel, or the plain op path, threading streaming states."""
     n = len(params["stages"][i])
@@ -296,7 +297,8 @@ def _stage_fused_or_plain(params: Params, cfg, i: int, h: jnp.ndarray, s: list,
         packed = large_packs[i]
         stage_states = [s.pop(0) for _ in range(n)]
         ctx = jnp.stack([st.buf for st in stage_states], axis=1)  # [B, N, 6, D]
-        h, new_ctx = fs.fused_stage_chain(packed, h, ctx, eps=cfg.layernorm_eps)
+        h, new_ctx = fs.fused_stage_chain(packed, h, ctx, eps=cfg.layernorm_eps,
+                                          tile_want=tile_want)
         for j in range(n):
             s.append(ConvState(buf=new_ctx[:, j]))
         return h
@@ -308,7 +310,7 @@ def _stage_fused_or_plain(params: Params, cfg, i: int, h: jnp.ndarray, s: list,
 
 def decoder_apply_streaming_fused(params: Params, cfg: AcousticTokenizerConfig,
                                   z: jnp.ndarray, states, fused_packs=None,
-                                  large_packs=None):
+                                  large_packs=None, tile_want: int = 400):
     """Streaming decode using the fused Block1D kernels — `fused_packs` maps
     stage index -> small-T chain-kernel pack (ops/fused_blocks.py, T<=8) and
     `large_packs` -> tiled large-T stage-kernel pack (ops/fused_stage.py);
@@ -329,7 +331,8 @@ def decoder_apply_streaming_fused(params: Params, cfg: AcousticTokenizerConfig,
             st = s.pop(0)
             h, new_st = causal_conv_transpose1d_streaming(h, st, up["w"], up["b"], stride=r)
             s.append(new_st)
-        h = _stage_fused_or_plain(params, cfg, i, h, s, fused_packs, large_packs)
+        h = _stage_fused_or_plain(params, cfg, i, h, s, fused_packs, large_packs,
+                                  tile_want=tile_want)
     if params["final_norm_w"] is not None:
         h = rms_norm(h, params["final_norm_w"], cfg.layernorm_eps)
     hp = params["head"]
@@ -425,7 +428,8 @@ def pack_encoder_stages(params: Params, cfg, chunk_t: int, max_frames: int = 8,
 
 
 def encoder_apply_streaming_fused(params: Params, cfg, x: jnp.ndarray,
-                                  states, fused_packs=None, large_packs=None):
+                                  states, fused_packs=None, large_packs=None,
+                                  tile_want: int = 400):
     """Streaming encode using the fused Block1D kernels (small-T chain and/or
     tiled large-T stage packs); identical numerics to
     `encoder_apply_streaming` up to fp32-vs-bf16 intra-block rounding."""
@@ -438,7 +442,8 @@ def encoder_apply_streaming_fused(params: Params, cfg, x: jnp.ndarray,
         st = s.pop(0)
         h, new_st = causal_conv1d_streaming(h, st, dp["w"], dp["b"], stride=strides[i])
         s.append(new_st)
-        h = _stage_fused_or_plain(params, cfg, i, h, s, fused_packs, large_packs)
+        h = _stage_fused_or_plain(params, cfg, i, h, s, fused_packs, large_packs,
+                                  tile_want=tile_want)
     if params["final_norm_w"] is not None:
         h = rms_norm(h, params["final_norm_w"], cfg.layernorm_eps)
     hp = params["head"]

@@ -72,17 +72,22 @@ def _kernel(vecs_ref, mixw_ref, w1_ref, w2_ref, ctx_in_ref,
         x = x + gamma[None, :] * m
 
         # FFN: fp32 RMSNorm -> [Tt, D+8] @ w1 (bias folded via the all-ones
-        # row) -> exact GELU -> @ w2 -> layer-scale residual
+        # row) -> exact GELU -> @ w2 -> layer-scale residual.
+        # Matmul INPUTS take the pack dtype (bf16 in production): the MXU
+        # runs bf16 natively (fp32 inputs cost 3-6 passes), accumulation
+        # stays fp32, and the plain XLA path's matmuls are bf16-input too —
+        # so this is both faster AND closer to the reference numerics.
+        wdt = w1_ref.dtype
         hn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
         hn = hn * ffn_norm_w[None, :]
         ones = jnp.ones((tt, 1), jnp.float32)
         zeros = jnp.zeros((tt, 7), jnp.float32)
         hn_aug = jnp.concatenate([hn, ones, zeros], axis=-1)
-        a = jax.lax.dot_general(hn_aug, w1_ref[b].astype(jnp.float32),
+        a = jax.lax.dot_general(hn_aug.astype(wdt), w1_ref[b],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         a = 0.5 * a * (1.0 + _erf(a * 0.7071067811865476))
-        y = jax.lax.dot_general(a, w2_ref[b].astype(jnp.float32),
+        y = jax.lax.dot_general(a.astype(wdt), w2_ref[b],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         x = x + ffn_gamma[None, :] * (y + ffn2_b[None, :])
@@ -104,16 +109,18 @@ def _tile(t: int, want: int = 400) -> int:
 
 
 def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
-                      eps: float = 1e-5) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      eps: float = 1e-5,
+                      tile_want: int = 400) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run one large-T stage for a batch.
 
     x [B, T, D] (T > 8, statically tiled), ctx [B, N, 6, D] per-block conv
-    context -> (y [B, T, D], new_ctx [B, N, 6, D]).
+    context -> (y [B, T, D], new_ctx [B, N, 6, D]).  `tile_want` sets the
+    T-tile target (on-chip sweep: scripts/experiments/stage_tile_sweep.py).
     """
     bsz, t, d = x.shape
     n = packed["vecs"].shape[0]
     f = packed["w1"].shape[2]
-    tt = _tile(t)
+    tt = _tile(t, tile_want)
     assert t % tt == 0 and tt > CTX
     nt = t // tt
     ctx_pad = jnp.pad(ctx, ((0, 0), (0, 0), (0, 8 - CTX), (0, 0)))
