@@ -19,15 +19,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_platforms", "cpu")
-
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="all 28 layers")
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--quantize", default=None)
+    ap.add_argument("--tpu", action="store_true",
+                    help="audit the REAL TPU-compiled program (each entry "
+                         "fusion = one kernel launch); default audits on CPU")
     args = ap.parse_args()
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vibevoice_tpu.configs import vibevoice_1_5b
     from vibevoice_tpu.engine import generate as G

@@ -98,6 +98,16 @@ def run(tag, lm_mode, tok_mode, eng_kw=None, chain_int4=False):
 
 
 VARIANTS = {
+    "bf16": ("bf16 plain (exact-numerics headline)", None, None),
+    # bf16 fused kernels: unquantized packs, fp32 intra-kernel math -> same
+    # or better numerics than the XLA path; candidates for the bf16 headline
+    "bf16fv": ("bf16+fused voc+sem chains", None, None,
+               {"use_fused_vocoder": True, "use_fused_semantic": True}),
+    "bf16fs": ("bf16+fused large-T stages", None, None,
+               {"use_fused_stages": True}),
+    "bf16all": ("bf16+chains+stages", None, None,
+                {"use_fused_vocoder": True, "use_fused_semantic": True,
+                 "use_fused_stages": True}),
     "base": ("int4lm+bf16tok (baseline)", "int4", None),
     "i4i8": ("int4lm+int8tok", "int4", "int8"),
     "i4i4": ("int4lm+int4tok", "int4", "int4"),

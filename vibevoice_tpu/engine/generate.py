@@ -347,7 +347,13 @@ class Engine:
         sel = select_token(logits, state.rng, state.step, gen.do_sample)
         next_tok = self.allowed_ids[sel]
         if gen.force_diffusion:
-            next_tok = jnp.full_like(next_tok, gen.speech_diffusion_id)
+            # bench mode: force the diffusion branch but keep the real token
+            # selection LIVE via a data dependency — a plain overwrite lets
+            # XLA DCE the whole logits+argmax path and the bench would
+            # over-report vs real serving (token ids are non-negative, so
+            # this always selects the diffusion token)
+            next_tok = jnp.where(next_tok < 0, next_tok,
+                                 jnp.int32(gen.speech_diffusion_id))
         next_tok = jnp.where(state.finished, gen.eos_id, next_tok)
 
         finished = state.finished | (next_tok == gen.eos_id)
