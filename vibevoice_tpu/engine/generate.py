@@ -596,12 +596,10 @@ class Engine:
         wp = state.write_pos
 
         # visibility for this forward: each row sees its committed history
-        # plus the slot being written right now
+        # plus the slot being written right now (one fused [2B, S] op — no
+        # pos/neg split + re-concat)
         slot_vis = (jnp.arange(self.cache_len) == wp).astype(jnp.int32)[None]
-        vis = state.visible
-        vis_pos = jnp.minimum(vis[:b] + slot_vis, 1)
-        vis_neg = jnp.minimum(vis[b:] + slot_vis, 1)
-        vis_step = jnp.concatenate([vis_pos, vis_neg], axis=0)
+        vis_step = jnp.minimum(state.visible + slot_vis, 1)
 
         embeds2 = jnp.concatenate([state.cur_embeds, state.cur_embeds], axis=0)[:, None, :]
         positions2 = jnp.concatenate([state.pos_positions, state.neg_positions])[:, None]
@@ -617,7 +615,7 @@ class Engine:
 
         state = state._replace(
             cache=cache,
-            visible=state.visible.at[:b].set(vis_pos),
+            visible=state.visible.at[:b].set(vis_step[:b]),
             write_pos=wp + 1,
             pos_positions=state.pos_positions + 1)
         return self._post_lm(p, state, h_pos, h_neg, neg_slot=wp)

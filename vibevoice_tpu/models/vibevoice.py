@@ -83,8 +83,15 @@ def lm_head_subset(params: Params, ids, dtype=jnp.bfloat16) -> Dict[str, Any]:
     if isinstance(head, dict):
         if "qint4" in head:
             from ..ops.int4_matmul import dequant_int4_xla
-            sub = dequant_int4_xla(head["qint4"][:, ids], head["scale4"][:, ids], dtype)
-            return {"w": sub}
+
+            # ONE jit: int4 arrays cannot cross jit/eager boundaries in this
+            # environment (see ops/int4_matmul.py docstring) — the eager
+            # column-gather + bitcast path RecursionErrors on the TPU backend
+            @jax.jit
+            def _sub(q, s):
+                return dequant_int4_xla(q[:, ids], s[:, ids], dtype)
+
+            return {"w": _sub(head["qint4"], head["scale4"])}
         return {"q": head["qint8"][:, ids], "scale": head["scale"][ids]}
     return {"w": head[:, ids]}
 
