@@ -44,7 +44,7 @@ def _plain_stage(blocks, cfg, x, ctx):
     return h, new_ctx
 
 
-@pytest.mark.parametrize("b,t,d,n", [(1, 16, 32, 3), (2, 24, 16, 2), (2, 800, 8, 1)])
+@pytest.mark.parametrize("b,t,d,n", [(1, 16, 32, 3), (2, 24, 16, 2), (2, 800, 8, 1), (4, 800, 16, 2), (3, 400, 8, 1)])
 def test_fused_stage_matches_blocks(interpret_pallas, b, t, d, n):
     cfg = AcousticTokenizerConfig()
     key = jax.random.PRNGKey(0)
