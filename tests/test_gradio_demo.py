@@ -91,12 +91,16 @@ def test_example_loader_skips_over_15min(tmp_path, demo_obj):
     (exdir / "4p_long_45min.txt").write_text("Speaker 1: way too long")
     (exdir / "1p_ok_10min.txt").write_text("Speaker 1: fine")
     import demo.gradio_demo as gd
-    real_dir = os.path.dirname(os.path.abspath(gd.__file__))
+    # gd.os IS the global os module — capture the real function BEFORE
+    # patching (the old `finally: gd.os.path.dirname = os.path.dirname`
+    # re-assigned the patched lambda and silently broke os.path.dirname for
+    # every later test in the process)
+    orig_dirname = os.path.dirname
     try:
         gd.os.path.dirname = lambda p: str(tmp_path)  # redirect examples dir
         d.load_example_scripts()
     finally:
-        gd.os.path.dirname = os.path.dirname
+        gd.os.path.dirname = orig_dirname
     names = [s for _, s in d.example_scripts]
     assert "Speaker 1: way too long" not in names
     assert len(d.example_scripts) == 2
