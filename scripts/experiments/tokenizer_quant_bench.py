@@ -126,6 +126,9 @@ VARIANTS = {
     # full composition: int4 chain (T<=8) + tiled stage kernel (T>=128)
     "i8qfs": ("int8lm+int8tok+int4chain+fusedstages", "int8", "int8",
               {"use_fused_stages": True}, True),
+    # B=1 composition: the row-folded stage kernel wins at B=1 too (r4)
+    "i4fqfs": ("int4flm+int8tok+int4chain+fusedstages", "int4f", "int8",
+               {"use_fused_stages": True}, True),
 }
 names = sys.argv[2:] or list(VARIANTS)
 for nm in names:

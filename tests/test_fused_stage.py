@@ -121,6 +121,71 @@ def test_streaming_fused_stages_match_plain(interpret_pallas):
                                    atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.parametrize("s,din,d,t,chunks", [(5, 16, 8, 40, 2), (2, 8, 16, 800, 2)])
+def test_folded_up_conv_matches_plain(interpret_pallas, s, din, d, t, chunks):
+    """[transposed up conv + stage] folded into one kernel call == the
+    separate streaming conv + per-op stage, across chunks (the overlap-add
+    tail round-trips through the ctx slot)."""
+    from vibevoice_tpu.ops import conv as C
+    cfg = AcousticTokenizerConfig()
+    key = jax.random.PRNGKey(3)
+    n = 2
+    blocks = _blocks(key, d, n, cfg)
+    up = {"w": jax.random.normal(jax.random.fold_in(key, 20), (din, 2 * s, d)) * 0.2,
+          "b": jax.random.normal(jax.random.fold_in(key, 21), (d,)) * 0.1}
+    packed = fs.pack_stage(blocks, dtype=jnp.float32)
+    packed["conv"] = fs.pack_up_conv(up, s, dtype=jnp.float32)
+
+    tail_p = C.conv_transpose_state_init(2, d, 2 * s, s).tail
+    tail_f = jnp.asarray(tail_p)
+    ctx_p = jnp.zeros((2, n, 6, d))
+    ctx_f = jnp.zeros((2, n, 6, d))
+    for c in range(chunks):
+        x = jax.random.normal(jax.random.fold_in(key, 30 + c), (2, t // s, din)) * 0.5
+        h_ref, st = C.causal_conv_transpose1d_streaming(
+            x, C.ConvTState(tail=tail_p), up["w"], up["b"], stride=s)
+        tail_p = st.tail
+        y_ref, ctx_p = _plain_stage(blocks, cfg, h_ref, ctx_p)
+        y, ctx_f, tail_f = fs.fused_stage_chain(packed, x, ctx_f, eps=cfg.layernorm_eps,
+                                                conv_state=tail_f)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-4, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(tail_f), np.asarray(tail_p),
+                                   atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("s,k,cin,d,t", [(1, 7, 1, 8, 40), (2, 4, 4, 8, 800), (4, 8, 8, 16, 200)])
+def test_folded_down_conv_matches_plain(interpret_pallas, s, k, cin, d, t):
+    """[strided down conv + stage] folded == separate streaming conv + per-op
+    stage, across chunks (the conv context buf round-trips the ctx slot)."""
+    from vibevoice_tpu.ops import conv as C
+    cfg = AcousticTokenizerConfig()
+    key = jax.random.PRNGKey(4)
+    n = 2
+    blocks = _blocks(key, d, n, cfg)
+    dp = {"w": jax.random.normal(jax.random.fold_in(key, 20), (k, cin, d)) * 0.2,
+          "b": jax.random.normal(jax.random.fold_in(key, 21), (d,)) * 0.1}
+    packed = fs.pack_stage(blocks, dtype=jnp.float32)
+    packed["conv"] = fs.pack_down_conv(dp, s, dtype=jnp.float32)
+
+    buf_p = C.conv_state_init(2, cin, k, s).buf
+    buf_f = jnp.asarray(buf_p)
+    ctx_p = jnp.zeros((2, n, 6, d))
+    ctx_f = jnp.zeros((2, n, 6, d))
+    for c in range(2):
+        x = jax.random.normal(jax.random.fold_in(key, 30 + c), (2, t * s, cin)) * 0.5
+        h_ref, st = C.causal_conv1d_streaming(
+            x, C.ConvState(buf=buf_p), dp["w"], dp["b"], stride=s)
+        buf_p = st.buf
+        y_ref, ctx_p = _plain_stage(blocks, cfg, h_ref, ctx_p)
+        y, ctx_f, buf_f = fs.fused_stage_chain(packed, x, ctx_f, eps=cfg.layernorm_eps,
+                                               conv_state=buf_f)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-4, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(buf_f), np.asarray(buf_p),
+                                   atol=2e-4, rtol=2e-3)
+
+
 def test_engine_fused_stages_smoke(interpret_pallas):
     """Engine(use_fused_stages=True) end-to-end against the plain engine:
     same tokens, close audio."""

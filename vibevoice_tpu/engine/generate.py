@@ -167,6 +167,7 @@ class Engine:
                  use_fused_stages: bool = False,
                  fused_stage_t_min: int = 128,
                  fused_stage_tile: int = 400,
+                 fused_stage_fold_conv: bool = True,
                  keep_audio: bool = True,
                  kv_dtype: str = "model",
                  mesh=None):
@@ -206,10 +207,11 @@ class Engine:
             params = dict(params)
             params["_vocoder_packs_large"] = tokenizer.pack_decoder_stages_large(
                 params["acoustic_decoder"], cfg.acoustic_tokenizer,
-                t_min=fused_stage_t_min)
+                t_min=fused_stage_t_min, fold_conv=fused_stage_fold_conv)
             params["_semantic_packs_large"] = tokenizer.pack_encoder_stages_large(
                 params["semantic_encoder"], cfg.semantic_tokenizer,
-                chunk_t=cfg.speech_compress_ratio, t_min=fused_stage_t_min)
+                chunk_t=cfg.speech_compress_ratio, t_min=fused_stage_t_min,
+                fold_conv=fused_stage_fold_conv)
         if use_flash_prefill is None:
             # auto: long prompts with TPU-tileable head dim take the Pallas path
             use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0

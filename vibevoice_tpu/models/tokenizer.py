@@ -308,6 +308,28 @@ def _stage_fused_or_plain(params: Params, cfg, i: int, h: jnp.ndarray, s: list,
     return h
 
 
+def _stage_folded_conv(params: Params, cfg, i: int, h: jnp.ndarray, s: list,
+                       packed, tile_want: int) -> jnp.ndarray:
+    """Apply [transition conv + stage i] as ONE fused stage-kernel call
+    (packed carries the conv — round 4).  Pops the conv streaming state and
+    the N block states, appends their successors in the same order."""
+    from ..ops import fused_stage as fs
+    n = len(params["stages"][i])
+    conv_st = s.pop(0)
+    stage_states = [s.pop(0) for _ in range(n)]
+    ctx = jnp.stack([st.buf for st in stage_states], axis=1)  # [B, N, 6, D]
+    cstate = conv_st.tail if isinstance(conv_st, ConvTState) else conv_st.buf
+    h, new_ctx, new_cstate = fs.fused_stage_chain(
+        packed, h, ctx, eps=cfg.layernorm_eps, tile_want=tile_want,
+        conv_state=cstate)
+    new_cstate = new_cstate.astype(cstate.dtype)
+    s.append(ConvTState(tail=new_cstate) if isinstance(conv_st, ConvTState)
+             else ConvState(buf=new_cstate))
+    for j in range(n):
+        s.append(ConvState(buf=new_ctx[:, j]))
+    return h
+
+
 def decoder_apply_streaming_fused(params: Params, cfg: AcousticTokenizerConfig,
                                   z: jnp.ndarray, states, fused_packs=None,
                                   large_packs=None, tile_want: int = 400):
@@ -321,6 +343,10 @@ def decoder_apply_streaming_fused(params: Params, cfg: AcousticTokenizerConfig,
     s = list(states)
     h = z
     for i in range(len(depths)):
+        lp = (large_packs or {}).get(i)
+        if lp is not None and "conv" in lp:
+            h = _stage_folded_conv(params, cfg, i, h, s, lp, tile_want)
+            continue
         up = params["up"][i]
         if i == 0:
             st = s.pop(0)
@@ -350,13 +376,18 @@ def encoder_apply_streaming(params: Params, cfg, x: jnp.ndarray, states):
 
 
 def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
-                              t_min: int = 128):
+                              t_min: int = 128, fold_conv: bool = True):
     """Weight packs for the tiled large-T stage kernel (ops/fused_stage.py):
     decoder stages whose per-frame T = prod(ratios[:i]) >= t_min.  These
     stages carry negligible weight bytes but, at batch, most of the σ-VAE's
     per-stream compute (r3 stage ablation).  Skips stages whose FFNs are
     quantized (large-T dims sit below the quantization min_dim by default,
-    so the packs compose with quantize_tokenizer)."""
+    so the packs compose with quantize_tokenizer).
+
+    `fold_conv` additionally folds each large stage's preceding stride-r
+    transposed "up" conv into its kernel (round 4) — the upsampled [B, T, D]
+    tensor never round-trips HBM; skipped where the conv weight is
+    quantized (never at these dims by default: conv_min_params)."""
     if cfg.mixer_layer != "depthwise_conv":
         return {}
     from ..ops import fused_stage as fs
@@ -373,13 +404,20 @@ def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
                 and not isinstance(params["stages"][i][0]["ffn1"]["w"], dict)):
             dtype = params["stages"][i][0]["ffn1"]["w"].dtype
             packs[i] = fs.pack_stage(params["stages"][i], dtype=dtype)
+            up = params["up"][i]
+            if (fold_conv and i > 0 and not isinstance(up["w"], dict)
+                    and up["w"].shape[1] == 2 * strides[i - 1]):
+                packs[i]["conv"] = fs.pack_up_conv(up, strides[i - 1],
+                                                   dtype=dtype)
     return packs
 
 
 def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
-                              t_min: int = 128):
+                              t_min: int = 128, fold_conv: bool = True):
     """Mirror of `pack_decoder_stages_large` for the semantic re-encode:
-    encoder stage i runs at T = chunk_t / prod(strides[:i+1])."""
+    encoder stage i runs at T = chunk_t / prod(strides[:i+1]).  `fold_conv`
+    folds each large stage's preceding strided "down" conv (k=2s, or the
+    s=1 k=7 stem) into its kernel (round 4)."""
     if cfg.mixer_layer != "depthwise_conv":
         return {}
     from ..ops import fused_stage as fs
@@ -393,6 +431,12 @@ def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
                 and not isinstance(params["stages"][i][0]["ffn1"]["w"], dict)):
             dtype = params["stages"][i][0]["ffn1"]["w"].dtype
             packs[i] = fs.pack_stage(params["stages"][i], dtype=dtype)
+            dp = params["down"][i]
+            s_i, k_i = strides[i], (dp["w"].shape[0]
+                                    if not isinstance(dp["w"], dict) else 0)
+            if (fold_conv and not isinstance(dp["w"], dict)
+                    and (s_i == 1 or k_i == 2 * s_i) and 0 < k_i - s_i <= 8):
+                packs[i]["conv"] = fs.pack_down_conv(dp, s_i, dtype=dtype)
     return packs
 
 
@@ -438,6 +482,10 @@ def encoder_apply_streaming_fused(params: Params, cfg, x: jnp.ndarray,
     s = list(states)
     h = x
     for i in range(len(depths)):
+        lp = (large_packs or {}).get(i)
+        if lp is not None and "conv" in lp:
+            h = _stage_folded_conv(params, cfg, i, h, s, lp, tile_want)
+            continue
         dp = params["down"][i]
         st = s.pop(0)
         h, new_st = causal_conv1d_streaming(h, st, dp["w"], dp["b"], stride=strides[i])
