@@ -41,7 +41,8 @@ def _load_voice(path, sr=24000):
 
 
 def _build_tts(args, quantize=None, kv_dtype="model", algorithm_type="dpmsolver++",
-               ddpm_steps=None, quantize_tokenizer=None, int4_group_size=None):
+               ddpm_steps=None, quantize_tokenizer=None, int4_group_size=None,
+               use_fused_stages=False):
     import jax.numpy as jnp
     from vibevoice_tpu.pipeline import VibeVoiceTTS
 
@@ -50,6 +51,7 @@ def _build_tts(args, quantize=None, kv_dtype="model", algorithm_type="dpmsolver+
               cfg_scale=args.cfg_scale,
               quantize=quantize, kv_dtype=kv_dtype, algorithm_type=algorithm_type,
               quantize_tokenizer=quantize_tokenizer,
+              use_fused_stages=use_fused_stages,
               # tiny-config stacks have dims << 512; quantize them anyway so
               # the random-weight plumbing check exercises the quantized path
               tokenizer_min_dim=512 if args.model_path else 1,
@@ -98,6 +100,15 @@ CANDIDATES = {
     "int4f-g128+int4k": dict(quantize="int4f", int4_group_size="auto128",
                              quantize_tokenizer="int4k"),
     "int8+int4k": dict(quantize="int8", quantize_tokenizer="int4k"),
+    # engine-kernel numerics variants (no quantization): the fused large-T
+    # stage kernel (+ folded transition convs, r4) runs fp32 intra-kernel vs
+    # the XLA path's bf16 — recommended serving configs enable it, so the
+    # weights-day run certifies it too
+    "fs": dict(use_fused_stages=True),
+    "int8+int4k+fs": dict(quantize="int8", quantize_tokenizer="int4k",
+                          use_fused_stages=True),
+    "int4f+int4k+fs": dict(quantize="int4f", quantize_tokenizer="int4k",
+                           use_fused_stages=True),
 }
 
 # ---------------------------------------------------------------------------
@@ -124,14 +135,15 @@ CANDIDATES = {
 THRESHOLDS = {"mel_l2_max": 1.0, "lsd_max_db": 1.0, "snr_min_db": 20.0}
 
 # best-performance-first ladders; "bf16" = exact numerics, always passes
-LADDER_B1 = ["int4f+int4k", "int4f-g128+int4k", "int4f", "int4f-g128",
-             "int8+int4k", "int8", "bf16"]
-LADDER_BATCH = ["int8+int4k", "int8", "bf16"]   # int8 LM wins at B>=2
+LADDER_B1 = ["int4f+int4k+fs", "int4f+int4k", "int4f-g128+int4k", "int4f",
+             "int4f-g128", "int8+int4k", "int8", "bf16"]
+LADDER_BATCH = ["int8+int4k+fs", "int8+int4k", "int8", "bf16"]  # int8 LM wins at B>=2
 LADDER_TOKENIZER = ["int4k", "tok8", "bf16"]    # σ-VAE quantization alone
 
 # the weights-day one-command candidate set
 CANONICAL_CANDIDATES = ["int4f+int4k", "int4f-g128+int4k", "int4f",
-                        "int4f-g128", "int8+int4k", "int8", "int4k", "tok8"]
+                        "int4f-g128", "int8+int4k", "int8", "int4k", "tok8",
+                        "fs", "int8+int4k+fs", "int4f+int4k+fs"]
 
 
 def decide(measured, thresholds=None):
@@ -249,7 +261,10 @@ def main():
             chain = getattr(tts, "_chain_packs", None) is not None
             eng = G.Engine(tts.params, tts.cfg, gcfg, max_steps=max_new, batch=1,
                            prompt_len=512, dtype=tts.dtype, kv_dtype=tts.kv_dtype,
-                           use_fused_vocoder=chain, use_fused_semantic=chain)
+                           use_fused_vocoder=chain, use_fused_semantic=chain,
+                           use_fused_stages=tts.use_fused_stages,
+                           fused_stage_t_min=7 if tts.use_fused_stages
+                           and tts.cfg.decoder.hidden_size < 256 else 128)
             tts._engine = lambda b, p, m: eng
         res, metrics = tts.generate(script, voices[:1], max_new_tokens=max_new,
                                     seed=args.seed)

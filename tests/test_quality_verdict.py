@@ -22,8 +22,8 @@ def test_all_pass_recommends_fastest():
     measured = {c: [_m()] for c in QE.CANONICAL_CANDIDATES}
     v = QE.decide(measured)
     assert all(x["pass"] for x in v["verdicts"].values())
-    assert v["recommended"]["B1"] == "int4f+int4k"
-    assert v["recommended"]["B>=2"] == "int8+int4k"
+    assert v["recommended"]["B1"] == "int4f+int4k+fs"
+    assert v["recommended"]["B>=2"] == "int8+int4k+fs"
     assert v["recommended"]["tokenizer"] == "int4k"
 
 
@@ -43,6 +43,7 @@ def test_int4k_failure_falls_back_down_the_ladder():
 def test_g128_is_the_first_knob_when_per_channel_int4_fails():
     measured = {c: [_m()] for c in QE.CANONICAL_CANDIDATES}
     measured["int4f+int4k"] = [_m(mel=2.5)]
+    measured["int4f+int4k+fs"] = [_m(mel=2.5)]
     v = QE.decide(measured)
     assert v["recommended"]["B1"] == "int4f-g128+int4k"
 

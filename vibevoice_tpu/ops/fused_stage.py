@@ -236,15 +236,18 @@ def _tile(t: int, want: int = 400, mult: int = 1) -> int:
     return t
 
 
-def _rows_per_step(bsz: int, tt: int, d: int, f: int) -> int:
+def _rows_per_step(bsz: int, tt: int, d: int, f: int,
+                   extra_per_r: int = 0, budget: int = 8 * 1024 * 1024) -> int:
     """Largest divisor of B such that the fp32 FFN intermediate [R*Tt, F+]
-    stays comfortably VMEM-resident (~<= 8 MB)."""
+    (plus `extra_per_r` bytes of folded-conv intermediates) stays inside
+    `budget` — Mosaic's scoped-vmem stack is 16 MB and holds roughly 1.5-2x
+    the live-tensor estimate, so budgets stay well under half of it."""
     best = 1
     for r in range(1, bsz + 1):
         if bsz % r:
             continue
-        inter = r * tt * max(f, d + 8) * 4  # fp32 activation high-water
-        if inter <= 8 * 1024 * 1024 and r <= 8:
+        inter = r * (tt * max(f, d + 8) * 4 + extra_per_r)
+        if inter <= budget and r <= 8:
             best = r
     return best
 
@@ -338,8 +341,15 @@ def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     tt = _tile(t, tile_want, mult=8 * s if kind == "up" else 8)
     assert t % tt == 0 and tt > CTX and (kind != "up" or tt % s == 0)
     nt = t // tt
-    r = _rows_per_step(bsz, tt, d, f)
     ctxlen = k - s
+    if kind == "up":
+        # fp32 conv intermediates per row: ya+yb+prev [3, Tt, D] + xin
+        extra = 3 * tt * d * 4 + (tt // s) * cin * 4
+    else:
+        # full input + z/yt accumulators over the pre-decimation rows
+        extra = (ctxlen + tt * s) * cin * 4 + 2 * tt * s * d * 4
+    r = _rows_per_step(bsz, tt, d, f, extra_per_r=extra,
+                       budget=6 * 1024 * 1024)
 
     # ctx slot N carries the conv streaming state (zero-padded to [8, D])
     ctx_pad = jnp.pad(ctx, ((0, 0), (0, 0), (0, 8 - CTX), (0, 0)))
