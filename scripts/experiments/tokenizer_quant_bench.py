@@ -129,7 +129,9 @@ VARIANTS = {
     # B=1 composition: the row-folded stage kernel wins at B=1 too (r4)
     "i4fqfs": ("int4flm+int8tok+int4chain+fusedstages", "int4f", "int8",
                {"use_fused_stages": True}, True),
-    # fold_conv=False ablations (A/B the folded transition convs)
+    # fold_conv ablations (A/B the folded transition convs; default is auto)
+    "i8qfs_f": ("int8lm+int8tok+int4chain+fs-fold", "int8", "int8",
+                {"use_fused_stages": True, "fused_stage_fold_conv": True}, True),
     "i8qfs_nf": ("int8lm+int8tok+int4chain+fs-nofold", "int8", "int8",
                  {"use_fused_stages": True, "fused_stage_fold_conv": False}, True),
     "i4fqfs_nf": ("int4flm+int8tok+int4chain+fs-nofold", "int4f", "int8",

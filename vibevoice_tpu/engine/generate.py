@@ -167,7 +167,7 @@ class Engine:
                  use_fused_stages: bool = False,
                  fused_stage_t_min: int = 128,
                  fused_stage_tile: int = 400,
-                 fused_stage_fold_conv: bool = True,
+                 fused_stage_fold_conv: Optional[bool] = None,
                  keep_audio: bool = True,
                  kv_dtype: str = "model",
                  mesh=None):
@@ -203,7 +203,13 @@ class Engine:
         if use_fused_stages:
             # tiled large-T stage kernel for BOTH stacks' early/late conv
             # stages — the per-stream compute the r3 B=8 attribution located
-            # (composes with quantize_tokenizer: those stages stay unquantized)
+            # (composes with quantize_tokenizer: those stages stay unquantized).
+            # Folding the transition convs into the kernels (r4) is a measured
+            # B=1 win (+4%: HBM round trips + dispatch dominate) and a B>=4
+            # loss (-10%: the per-tap lane-padded conv work serializes inside
+            # the kernel) — auto-select by batch.
+            if fused_stage_fold_conv is None:
+                fused_stage_fold_conv = batch == 1
             params = dict(params)
             params["_vocoder_packs_large"] = tokenizer.pack_decoder_stages_large(
                 params["acoustic_decoder"], cfg.acoustic_tokenizer,

@@ -342,14 +342,22 @@ def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     assert t % tt == 0 and tt > CTX and (kind != "up" or tt % s == 0)
     nt = t // tt
     ctxlen = k - s
+
+    # VMEM accounting: Mosaic pads the lane (last) dim to 128 and fp32
+    # sublanes to 8, so small-D stages cost up to 4x their logical bytes
+    def _lpad(x: int) -> int:
+        return -(-x // 128) * 128
+
+    d_eff, cin_eff, f_eff = _lpad(d), _lpad(cin), _lpad(max(f, d + 8))
     if kind == "up":
-        # fp32 conv intermediates per row: ya+yb+prev [3, Tt, D] + xin
-        extra = 3 * tt * d * 4 + (tt // s) * cin * 4
+        # ya/yb/prev stacks + per-tap dot outputs + the input tile
+        extra = (3 * tt * d_eff + 2 * s * (tt // s) * d_eff
+                 + (tt // s) * cin_eff) * 4
     else:
         # full input + z/yt accumulators over the pre-decimation rows
-        extra = (ctxlen + tt * s) * cin * 4 + 2 * tt * s * d * 4
-    r = _rows_per_step(bsz, tt, d, f, extra_per_r=extra,
-                       budget=6 * 1024 * 1024)
+        extra = ((ctxlen + tt * s) * cin_eff + 2 * tt * s * d_eff) * 4
+    r = _rows_per_step(bsz, tt, d_eff, f_eff, extra_per_r=extra,
+                       budget=24 * 1024 * 1024)
 
     # ctx slot N carries the conv streaming state (zero-padded to [8, D])
     ctx_pad = jnp.pad(ctx, ((0, 0), (0, 0), (0, 8 - CTX), (0, 0)))
@@ -369,6 +377,9 @@ def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     y, new_ctx = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
+        # the conv intermediates exceed Mosaic's default 16 MB scoped-vmem
+        # stack at large row groups; v5e VMEM is 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         grid=(bsz // r, nt),
         in_specs=[
             pl.BlockSpec((n, 8, d), lambda b, i: (0, 0, 0)),
