@@ -134,6 +134,15 @@ VARIANTS = {
                 {"use_fused_stages": True, "fused_stage_fold_conv": True}, True),
     "i8qfs_nf": ("int8lm+int8tok+int4chain+fs-nofold", "int8", "int8",
                  {"use_fused_stages": True, "fused_stage_fold_conv": False}, True),
+    # stage-kernel T-tile variants (sweep: stage_tile_sweep.py — decoder
+    # stages prefer 200, the semantic stem prefers whole-array)
+    "i8qfs_t200": ("int8lm+int8tok+int4chain+fs-tile200", "int8", "int8",
+                   {"use_fused_stages": True, "fused_stage_tile": 200}, True),
+    "i8qfs_t2xs": ("int8lm+int8tok+int4chain+fs-t200sem3200", "int8", "int8",
+                   {"use_fused_stages": True, "fused_stage_tile": 200,
+                    "fused_stage_tile_semantic": 3200}, True),
+    "i4fqfs_t200": ("int4flm+int8tok+int4chain+fs-tile200", "int4f", "int8",
+                    {"use_fused_stages": True, "fused_stage_tile": 200}, True),
     "i4fqfs_nf": ("int4flm+int8tok+int4chain+fs-nofold", "int4f", "int8",
                   {"use_fused_stages": True, "fused_stage_fold_conv": False}, True),
     "bf16fs_nf": ("bf16+fused large-T stages nofold", None, None,

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--max_new_tokens", type=int, default=256)
     ap.add_argument("--quantize", default=None)
     ap.add_argument("--quantize_tokenizer", default=None)
+    ap.add_argument("--use_fused_stages", action="store_true",
+                    help="tiled large-T stage kernels (recommended at B>=2)")
     ap.add_argument("--kv_dtype", default="model")
     ap.add_argument("--ddpm_steps", type=int, default=5)
     ap.add_argument("--algorithm_type", default="sde-dpmsolver++")
@@ -41,7 +43,7 @@ def main():
 
     kw = dict(ddpm_steps=args.ddpm_steps, algorithm_type=args.algorithm_type,
               quantize=args.quantize, quantize_tokenizer=args.quantize_tokenizer,
-              kv_dtype=args.kv_dtype)
+              use_fused_stages=args.use_fused_stages, kv_dtype=args.kv_dtype)
     if args.model_path:
         tts = VibeVoiceTTS.from_pretrained(args.model_path, **kw)
     else:

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--max_new_tokens", type=int, nargs="+", default=[256])
     ap.add_argument("--quantize", default=None,
                     choices=[None, "int8", "int4", "int4f"])
+    ap.add_argument("--use_fused_stages", action="store_true",
+                    help="pre-warm the tiled stage-kernel path (B>=2 serving)")
     ap.add_argument("--quantize_tokenizer", default=None,
                     choices=[None, "int8", "int4", "int4k"],
                     help="σ-VAE stack quantization (vocoder + semantic encoder)")
@@ -48,6 +50,7 @@ def main() -> None:
     kw = dict(dtype=jnp.bfloat16, ddpm_steps=args.ddpm_steps,
               algorithm_type=args.algorithm_type, quantize=args.quantize,
               quantize_tokenizer=args.quantize_tokenizer,
+              use_fused_stages=args.use_fused_stages,
               kv_dtype=args.kv_dtype)
     t0 = time.perf_counter()
     if args.model_path:

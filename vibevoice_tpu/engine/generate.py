@@ -167,6 +167,7 @@ class Engine:
                  use_fused_stages: bool = False,
                  fused_stage_t_min: int = 128,
                  fused_stage_tile: int = 400,
+                 fused_stage_tile_semantic: Optional[int] = None,
                  fused_stage_fold_conv: Optional[bool] = None,
                  keep_audio: bool = True,
                  kv_dtype: str = "model",
@@ -176,6 +177,11 @@ class Engine:
         self.use_fused_semantic = use_fused_semantic
         self.use_fused_stages = use_fused_stages
         self.fused_stage_tile = fused_stage_tile
+        # the semantic stem stage prefers much larger T-tiles than the
+        # decoder stages (measured: scripts/experiments/stage_tile_sweep.py)
+        self.fused_stage_tile_semantic = (fused_stage_tile_semantic
+                                          if fused_stage_tile_semantic is not None
+                                          else fused_stage_tile)
         # kv_dtype="int8": per-slot symmetric int8 KV cache (half the cache
         # memory and long-context attention reads; dequantized in-kernel)
         if kv_dtype not in ("model", "int8"):
@@ -422,7 +428,7 @@ class Engine:
                     p["semantic_encoder"], cfg.semantic_tokenizer, chunk,
                     semantic_state, fused_packs=p.get("_semantic_packs"),
                     large_packs=p.get("_semantic_packs_large"),
-                    tile_want=self.fused_stage_tile)
+                    tile_want=self.fused_stage_tile_semantic)
             else:
                 sem, sem_state2 = tokenizer.encoder_apply_streaming(
                     p["semantic_encoder"], cfg.semantic_tokenizer, chunk, semantic_state)
