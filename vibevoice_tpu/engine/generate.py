@@ -166,7 +166,7 @@ class Engine:
                  use_fused_semantic: bool = False,
                  use_fused_stages: bool = False,
                  fused_stage_t_min: int = 128,
-                 fused_stage_tile: int = 400,
+                 fused_stage_tile: Optional[int] = None,
                  fused_stage_tile_semantic: Optional[int] = None,
                  fused_stage_fold_conv: Optional[bool] = None,
                  keep_audio: bool = True,
@@ -176,9 +176,11 @@ class Engine:
         self.use_fused_vocoder = use_fused_vocoder
         self.use_fused_semantic = use_fused_semantic
         self.use_fused_stages = use_fused_stages
+        # T-tile target: measured A/B (tokenizer_quant_bench tile variants)
+        # — 200 wins at B=8 (+3%), 400 at B<=4 (B=2: 200 loses 4%)
+        if fused_stage_tile is None:
+            fused_stage_tile = 200 if batch >= 8 else 400
         self.fused_stage_tile = fused_stage_tile
-        # the semantic stem stage prefers much larger T-tiles than the
-        # decoder stages (measured: scripts/experiments/stage_tile_sweep.py)
         self.fused_stage_tile_semantic = (fused_stage_tile_semantic
                                           if fused_stage_tile_semantic is not None
                                           else fused_stage_tile)
