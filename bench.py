@@ -121,9 +121,10 @@ def main():
         "config": "bf16, 5-step sde-dpmsolver++ (reference gradio production config)",
         "opt_in_modes_measured_this_round": {
             "int8 LM": 26.8,
-            "int4f LM + int4-chain sigma-VAE deep stages (B=1 best)": 37.75,
+            "int4f LM + int4k sigma-VAE + fused stages + folded convs (B=1 best)": 38.4,
             "int4 LM + int8 sigma-VAE stacks": 33.8,
-            "batch8 int8 LM + int4k + fused stage kernel audio-sec/s": 198.6},
+            "batch8 int8 LM + int4k + fused stage kernel (tile 200) audio-sec/s": 196.9},
+        "note": "r4 numbers keep token selection live (r1-r3 benches let XLA DCE it)",
     }))
 
 
