@@ -108,6 +108,7 @@ if os.environ.get("TOK") == "int4k":
 elif os.environ.get("TOK"):
     from vibevoice_tpu.utils.quantize import quantize_tokenizers
     params = quantize_tokenizers(params, mode=os.environ["TOK"])
+    _eng_kw = {}
 # int8 embedding table (per-row scales) — memory lever for the 16 GB chip
 params["lm"]["embed"] = jax.jit(lambda e: quantize_weight(e, axis=1))(params["lm"]["embed"])
 # untied 7B lm_head: int8
@@ -136,6 +137,8 @@ gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          speech_diffusion_id=151654, eos_id=151643,
                          ddpm_steps=10, force_diffusion=True)
 kv_dtype = _os.environ.get("KV", "model")  # KV=int8: quantized KV cache
+if _os.environ.get("FS"):  # FS=1: tiled large-T stage kernels (+auto fold/tile)
+    _eng_kw["use_fused_stages"] = True
 t0 = time.perf_counter()
 eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=B,
                prompt_len=prompt_len, dtype=jnp.bfloat16,
