@@ -143,6 +143,10 @@ VARIANTS = {
                     "fused_stage_tile_semantic": 3200}, True),
     "i4fqfs_t200": ("int4flm+int8tok+int4chain+fs-tile200", "int4f", "int8",
                     {"use_fused_stages": True, "fused_stage_tile": 200}, True),
+    "i8qfs_t160": ("int8lm+int8tok+int4chain+fs-tile160", "int8", "int8",
+                   {"use_fused_stages": True, "fused_stage_tile": 160}, True),
+    "i8qfs_t80": ("int8lm+int8tok+int4chain+fs-tile80", "int8", "int8",
+                  {"use_fused_stages": True, "fused_stage_tile": 80}, True),
     "i4fqfs_nf": ("int4flm+int8tok+int4chain+fs-nofold", "int4f", "int8",
                   {"use_fused_stages": True, "fused_stage_fold_conv": False}, True),
     "bf16fs_nf": ("bf16+fused large-T stages nofold", None, None,

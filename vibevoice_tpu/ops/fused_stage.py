@@ -28,14 +28,15 @@ accumulation), matching the plain XLA path's bf16-input matmuls.
 Folded stage-transition convs (round 4): the decoder's stride-r transposed
 "up" conv (k=2r, ref SConvTranspose1d modular_vibevoice_tokenizer.py:421-576)
 and the encoder's strided "down" conv (ref SConv1d :258-418) that precede a
-stage run INSIDE the stage kernel — the up conv as one [R*Ti, Din] @
-[Din, 2·s·D] matmul with the overlap-add second half carried across tiles
-(exactly `ops/conv.py:causal_conv_transpose1d_streaming`'s tail), the down
-conv as stride-block windows matmul with a carried left context (exactly
-`causal_conv1d_streaming`'s buf).  This removes the upsampled [B, T, D]
-HBM round trip at every stage boundary plus the overlap-add
-materializations; the conv streaming state rides an extra slot of the ctx
-tensors ([R, N+1, 8, D]).
+stage can run INSIDE the stage kernel as per-tap MXU matmuls (see
+`_kernel_conv` — Mosaic cannot shape-cast the lane dim, so the natural
+single-matmul forms don't lower), with the overlap-add tail / conv context
+carried across tiles in an extra slot of the ctx tensors ([R, N+1, 8, D]),
+streaming-identical to the `ops/conv.py` primitives.  This removes the
+upsampled [B, T, D] HBM round trip and the overlap-add materializations at
+every stage boundary — measured a +3.8% win at B=1 and a 10-17% LOSS at
+B>=4 (the lane-padded per-tap work serializes in-kernel), so the Engine
+auto-folds at B==1 only.
 
 GELU uses the Abramowitz-Stegun rational erf (|err| < 1.5e-7; Mosaic has no
 native erf lowering); other intra-stage arithmetic is fp32 — numerics match
@@ -46,7 +47,7 @@ modular_vibevoice_tokenizer.py:620-684.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
