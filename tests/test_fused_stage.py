@@ -186,6 +186,36 @@ def test_folded_down_conv_matches_plain(interpret_pallas, s, k, cin, d, t):
                                    atol=2e-4, rtol=2e-3)
 
 
+def test_engine_auto_policies():
+    """The measured batch policies (PERFORMANCE.md r4): transition-conv
+    folding on iff B==1; stage T-tile 200 iff B>=8 else 400."""
+    from vibevoice_tpu.engine import generate as G
+    from vibevoice_tpu.models import vibevoice as V
+
+    cfg = tiny_config(vocab_size=320)
+    params = V.init_model(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    gen = G.GenerationConfig(speech_start_id=256, speech_end_id=257,
+                             speech_diffusion_id=258, eos_id=259, ddpm_steps=2)
+
+    def build(b, **kw):
+        return G.Engine(params, cfg, gen, max_steps=2, batch=b, prompt_len=16,
+                        dtype=jnp.float32, use_fused_stages=True,
+                        fused_stage_t_min=7, **kw)
+
+    e1, e8 = build(1), build(8)
+    assert e1.fused_stage_tile == 400 and e8.fused_stage_tile == 200
+    packs1 = e1.params["_vocoder_packs_large"]
+    packs8 = e8.params["_vocoder_packs_large"]
+    assert any("conv" in p for p in packs1.values()), "B=1 must fold convs"
+    assert not any("conv" in p for p in packs8.values()), "B>=2 must not fold"
+    # explicit override beats the auto policy
+    e8f = build(8, fused_stage_fold_conv=True, fused_stage_tile=80)
+    assert e8f.fused_stage_tile == 80
+    assert any("conv" in p for p in e8f.params["_vocoder_packs_large"].values())
+
+
 def test_engine_fused_stages_smoke(interpret_pallas):
     """Engine(use_fused_stages=True) end-to-end against the plain engine:
     same tokens, close audio."""
