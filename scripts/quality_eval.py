@@ -42,7 +42,7 @@ def _load_voice(path, sr=24000):
 
 def _build_tts(args, quantize=None, kv_dtype="model", algorithm_type="dpmsolver++",
                ddpm_steps=None, quantize_tokenizer=None, int4_group_size=None,
-               use_fused_stages=False):
+               use_fused_stages=False, quantize_diffusion=None):
     import jax.numpy as jnp
     from vibevoice_tpu.pipeline import VibeVoiceTTS
 
@@ -51,6 +51,7 @@ def _build_tts(args, quantize=None, kv_dtype="model", algorithm_type="dpmsolver+
               cfg_scale=args.cfg_scale,
               quantize=quantize, kv_dtype=kv_dtype, algorithm_type=algorithm_type,
               quantize_tokenizer=quantize_tokenizer,
+              quantize_diffusion=quantize_diffusion,
               use_fused_stages=use_fused_stages,
               # tiny-config stacks have dims << 512; quantize them anyway so
               # the random-weight plumbing check exercises the quantized path
@@ -109,6 +110,16 @@ CANDIDATES = {
                           use_fused_stages=True),
     "int4f+int4k+fs": dict(quantize="int4f", quantize_tokenizer="int4k",
                            use_fused_stages=True),
+    # fused int4 diffusion-head solver kernel (ops/fused_head.py, r4): the
+    # head produces the output latent, so its int4 quantization is the most
+    # quality-sensitive candidate — certify separately and composed
+    "dh4": dict(quantize_diffusion="int4k"),
+    "int8+int4k+fs+dh4": dict(quantize="int8", quantize_tokenizer="int4k",
+                              use_fused_stages=True,
+                              quantize_diffusion="int4k"),
+    "int4f+int4k+fs+dh4": dict(quantize="int4f", quantize_tokenizer="int4k",
+                               use_fused_stages=True,
+                               quantize_diffusion="int4k"),
 }
 
 # ---------------------------------------------------------------------------
@@ -135,15 +146,18 @@ CANDIDATES = {
 THRESHOLDS = {"mel_l2_max": 1.0, "lsd_max_db": 1.0, "snr_min_db": 20.0}
 
 # best-performance-first ladders; "bf16" = exact numerics, always passes
-LADDER_B1 = ["int4f+int4k+fs", "int4f+int4k", "int4f-g128+int4k", "int4f",
+LADDER_B1 = ["int4f+int4k+fs+dh4", "int4f+int4k+fs", "int4f+int4k",
+             "int4f-g128+int4k", "int4f",
              "int4f-g128", "int8+int4k", "int8", "bf16"]
-LADDER_BATCH = ["int8+int4k+fs", "int8+int4k", "int8", "bf16"]  # int8 LM wins at B>=2
+LADDER_BATCH = ["int8+int4k+fs+dh4", "int8+int4k+fs", "int8+int4k", "int8",
+                "bf16"]  # int8 LM wins at B>=2
 LADDER_TOKENIZER = ["int4k", "tok8", "bf16"]    # σ-VAE quantization alone
 
 # the weights-day one-command candidate set
 CANONICAL_CANDIDATES = ["int4f+int4k", "int4f-g128+int4k", "int4f",
                         "int4f-g128", "int8+int4k", "int8", "int4k", "tok8",
-                        "fs", "int8+int4k+fs", "int4f+int4k+fs"]
+                        "fs", "int8+int4k+fs", "int4f+int4k+fs", "dh4",
+                        "int8+int4k+fs+dh4", "int4f+int4k+fs+dh4"]
 
 
 def decide(measured, thresholds=None):

@@ -93,14 +93,24 @@ def test_streaming_fused_stages_match_plain(interpret_pallas):
             bp["ffn_gamma"] = jnp.ones_like(bp["ffn_gamma"])
     packs = tok.pack_decoder_stages_large(dp, ac, t_min=4)
     assert packs, "tiny config must produce at least one large pack"
+    last = len(ac.decoder_depths_resolved()) - 1
+    assert "head" in packs[last], "decoder tail must fold into the last stage"
+    # head folding OFF must also hold (the plain tail path stays reachable)
+    packs_nh = tok.pack_decoder_stages_large(dp, ac, t_min=4, fold_head=False)
+    assert "head" not in packs_nh[last]
     z = jax.random.normal(jax.random.fold_in(key, 3), (2, 3, ac.vae_dim))
     s_plain = tok.decoder_state_init(ac, 2)
     s_fused = tok.decoder_state_init(ac, 2)
+    s_nh = tok.decoder_state_init(ac, 2)
     for i in range(3):
         y_p, s_plain = tok.decoder_apply_streaming(dp, ac, z[:, i:i + 1], s_plain)
         y_f, s_fused = tok.decoder_apply_streaming_fused(
             dp, ac, z[:, i:i + 1], s_fused, large_packs=packs)
+        y_n, s_nh = tok.decoder_apply_streaming_fused(
+            dp, ac, z[:, i:i + 1], s_nh, large_packs=packs_nh)
         np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_f),
+                                   atol=2e-4, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_n),
                                    atol=2e-4, rtol=2e-3)
 
     ep = tok.init_encoder(jax.random.fold_in(key, 9), se, dtype=jnp.float32)

@@ -22,8 +22,8 @@ def test_all_pass_recommends_fastest():
     measured = {c: [_m()] for c in QE.CANONICAL_CANDIDATES}
     v = QE.decide(measured)
     assert all(x["pass"] for x in v["verdicts"].values())
-    assert v["recommended"]["B1"] == "int4f+int4k+fs"
-    assert v["recommended"]["B>=2"] == "int8+int4k+fs"
+    assert v["recommended"]["B1"] == "int4f+int4k+fs+dh4"
+    assert v["recommended"]["B>=2"] == "int8+int4k+fs+dh4"
     assert v["recommended"]["tokenizer"] == "int4k"
 
 
@@ -44,8 +44,22 @@ def test_g128_is_the_first_knob_when_per_channel_int4_fails():
     measured = {c: [_m()] for c in QE.CANONICAL_CANDIDATES}
     measured["int4f+int4k"] = [_m(mel=2.5)]
     measured["int4f+int4k+fs"] = [_m(mel=2.5)]
+    measured["int4f+int4k+fs+dh4"] = [_m(mel=2.5)]
     v = QE.decide(measured)
     assert v["recommended"]["B1"] == "int4f-g128+int4k"
+
+
+def test_dh4_failure_falls_back_to_int8_head():
+    # the head produces the output latent: if int4 head quantization fails
+    # the thresholds, the next rung keeps everything else and drops only dh4
+    measured = {c: [_m()] for c in QE.CANONICAL_CANDIDATES}
+    for c in measured:
+        if "dh4" in c:
+            measured[c] = [_m(snr=10.0)]
+    v = QE.decide(measured)
+    assert not v["verdicts"]["int4f+int4k+fs+dh4"]["pass"]
+    assert v["recommended"]["B1"] == "int4f+int4k+fs"
+    assert v["recommended"]["B>=2"] == "int8+int4k+fs"
 
 
 def test_everything_fails_reverts_to_exact_bf16():

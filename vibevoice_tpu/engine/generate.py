@@ -169,6 +169,7 @@ class Engine:
                  fused_stage_tile: Optional[int] = None,
                  fused_stage_tile_semantic: Optional[int] = None,
                  fused_stage_fold_conv: Optional[bool] = None,
+                 fused_stage_fold_head: Optional[bool] = None,
                  keep_audio: bool = True,
                  kv_dtype: str = "model",
                  mesh=None):
@@ -218,10 +219,19 @@ class Engine:
             # the kernel) — auto-select by batch.
             if fused_stage_fold_conv is None:
                 fused_stage_fold_conv = batch == 1
+            # fold_head: the decoder tail (final norm + head conv) rides the
+            # last stage kernel as an epilogue — the [B, 3200, D] stage
+            # output never round-trips HBM.  Measured (head_fold_ab.py): a
+            # wash/-0.6% at B=8 (the saved HBM ops were cheap; the in-kernel
+            # head FMAs run on 4x lane-padded D=32 rows), so the auto policy
+            # mirrors fold_conv: dispatch-bound B==1 only.
+            if fused_stage_fold_head is None:
+                fused_stage_fold_head = batch == 1
             params = dict(params)
             params["_vocoder_packs_large"] = tokenizer.pack_decoder_stages_large(
                 params["acoustic_decoder"], cfg.acoustic_tokenizer,
-                t_min=fused_stage_t_min, fold_conv=fused_stage_fold_conv)
+                t_min=fused_stage_t_min, fold_conv=fused_stage_fold_conv,
+                fold_head=fused_stage_fold_head)
             params["_semantic_packs_large"] = tokenizer.pack_encoder_stages_large(
                 params["semantic_encoder"], cfg.semantic_tokenizer,
                 chunk_t=cfg.speech_compress_ratio, t_min=fused_stage_t_min,

@@ -297,10 +297,19 @@ def _stage_fused_or_plain(params: Params, cfg, i: int, h: jnp.ndarray, s: list,
         packed = large_packs[i]
         stage_states = [s.pop(0) for _ in range(n)]
         ctx = jnp.stack([st.buf for st in stage_states], axis=1)  # [B, N, 6, D]
-        h, new_ctx = fs.fused_stage_chain(packed, h, ctx, eps=cfg.layernorm_eps,
-                                          tile_want=tile_want)
+        hp = packed.get("head")
+        kw = {}
+        head_st = None
+        if hp is not None:  # folded decoder tail: pop the head conv's state
+            head_st = s.pop(0)
+            kw["head_state"] = head_st.buf
+        res = fs.fused_stage_chain(packed, h, ctx, eps=cfg.layernorm_eps,
+                                   tile_want=tile_want, **kw)
+        h, new_ctx = res[0], res[1]
         for j in range(n):
             s.append(ConvState(buf=new_ctx[:, j]))
+        if hp is not None:
+            s.append(ConvState(buf=res[2].astype(head_st.buf.dtype)))
         return h
     groups_of = (lambda d: d) if cfg.mixer_layer == "depthwise_conv" else (lambda d: 1)
     for bp in params["stages"][i]:
@@ -317,16 +326,25 @@ def _stage_folded_conv(params: Params, cfg, i: int, h: jnp.ndarray, s: list,
     n = len(params["stages"][i])
     conv_st = s.pop(0)
     stage_states = [s.pop(0) for _ in range(n)]
+    hp = packed.get("head")
+    kw = {}
+    head_st = None
+    if hp is not None:  # folded decoder tail: pop the head conv's state too
+        head_st = s.pop(0)
+        kw["head_state"] = head_st.buf
     ctx = jnp.stack([st.buf for st in stage_states], axis=1)  # [B, N, 6, D]
     cstate = conv_st.tail if isinstance(conv_st, ConvTState) else conv_st.buf
-    h, new_ctx, new_cstate = fs.fused_stage_chain(
+    res = fs.fused_stage_chain(
         packed, h, ctx, eps=cfg.layernorm_eps, tile_want=tile_want,
-        conv_state=cstate)
+        conv_state=cstate, **kw)
+    h, new_ctx, new_cstate = res[0], res[1], res[2]
     new_cstate = new_cstate.astype(cstate.dtype)
     s.append(ConvTState(tail=new_cstate) if isinstance(conv_st, ConvTState)
              else ConvState(buf=new_cstate))
     for j in range(n):
         s.append(ConvState(buf=new_ctx[:, j]))
+    if hp is not None:
+        s.append(ConvState(buf=res[3].astype(head_st.buf.dtype)))
     return h
 
 
@@ -359,6 +377,9 @@ def decoder_apply_streaming_fused(params: Params, cfg: AcousticTokenizerConfig,
             s.append(new_st)
         h = _stage_fused_or_plain(params, cfg, i, h, s, fused_packs, large_packs,
                                   tile_want=tile_want)
+    last_pack = (large_packs or {}).get(len(depths) - 1)
+    if last_pack is not None and "head" in last_pack:
+        return h, s  # tail (final norm + head conv) already folded in-kernel
     if params["final_norm_w"] is not None:
         h = rms_norm(h, params["final_norm_w"], cfg.layernorm_eps)
     hp = params["head"]
@@ -376,7 +397,8 @@ def encoder_apply_streaming(params: Params, cfg, x: jnp.ndarray, states):
 
 
 def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
-                              t_min: int = 128, fold_conv: bool = True):
+                              t_min: int = 128, fold_conv: bool = True,
+                              fold_head: bool = True):
     """Weight packs for the tiled large-T stage kernel (ops/fused_stage.py):
     decoder stages whose per-frame T = prod(ratios[:i]) >= t_min.  These
     stages carry negligible weight bytes but, at batch, most of the σ-VAE's
@@ -387,7 +409,12 @@ def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
     `fold_conv` additionally folds each large stage's preceding stride-r
     transposed "up" conv into its kernel (round 4) — the upsampled [B, T, D]
     tensor never round-trips HBM; skipped where the conv weight is
-    quantized (never at these dims by default: conv_min_params)."""
+    quantized (never at these dims by default: conv_min_params).
+
+    `fold_head` folds the decoder TAIL (final RMSNorm + causal head conv
+    D -> 1, ref modular_vibevoice_tokenizer.py:948-951) into the LAST
+    stage's kernel as shifted FMAs + a lane reduction — the [B, T, D] stage
+    output never reaches HBM and the waveform tile is emitted directly."""
     if cfg.mixer_layer != "depthwise_conv":
         return {}
     from ..ops import fused_stage as fs
@@ -409,6 +436,12 @@ def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
                     and up["w"].shape[1] == 2 * strides[i - 1]):
                 packs[i]["conv"] = fs.pack_up_conv(up, strides[i - 1],
                                                    dtype=dtype)
+    last = len(depths) - 1
+    hw = params["head"]["w"]
+    if (fold_head and last in packs and not isinstance(hw, dict)
+            and hw.shape[2] == 1 and 0 < hw.shape[0] - 1 <= 8):
+        packs[last]["head"] = fs.pack_head(params["head"],
+                                           params["final_norm_w"])
     return packs
 
 

@@ -132,13 +132,28 @@ def sample_speech_latents(
     # adaLN modulations for all steps in one batched matmul
     layer_mods, final_mod = diffusion_head.precompute_modulations(
         params["diffusion_head"], dh_cfg, cond2, sched.timesteps)
+    # opt-in fused int4 solver-step kernel (ops/fused_head.py): one pallas
+    # call per step streams the nibble-packed FFN weights — halves the 5x
+    # per-frame head re-read the int8 path pays
+    packq = params.get("_diffusion_head_packq")
+    if packq is not None:
+        from ..ops import fused_head
+        from ..utils.quantize import mm as _mm
+        mods_stack = jnp.stack(layer_mods, axis=1)  # [S, L, N, 3H]
 
     def body(carry, i):
         x, st = carry
         x2 = jnp.concatenate([x, x], axis=0)
-        eps = diffusion_head.apply_with_modulations(
-            params["diffusion_head"], dh_cfg, x2,
-            [m[i] for m in layer_mods], final_mod[i])
+        if packq is not None:
+            xp = _mm(x2, params["diffusion_head"]["noisy_proj"])
+            eps = fused_head.fused_head_solver_step(
+                packq, xp, mods_stack[i], final_mod[i],
+                params["diffusion_head"]["final_linear"],
+                dh_cfg.rms_norm_eps)
+        else:
+            eps = diffusion_head.apply_with_modulations(
+                params["diffusion_head"], dh_cfg, x2,
+                [m[i] for m in layer_mods], final_mod[i])
         cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
         guided = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
         noise = None

@@ -77,6 +77,65 @@ class ConvPack:
         return cls(kind, w, b, s, k, cin)
 
 
+@jax.tree_util.register_pytree_node_class
+class HeadPack:
+    """Folded final-RMSNorm + head-conv (D -> 1) epilogue weights for the
+    LAST decoder stage (ref TokenizerDecoder tail, modular_vibevoice_tokenizer
+    .py:948-951): `w` rows are [norm_w; tap_0..tap_{k-1}] ([k+1, D]), `b` the
+    scalar conv bias ([1] or None, added OUTSIDE the kernel — XLA fuses it
+    into the consumer and a VMEM scalar load stays off the Mosaic risk
+    list)."""
+
+    def __init__(self, w, b, k: int, has_norm: bool):
+        self.w, self.b, self.k, self.has_norm = w, b, k, has_norm
+
+    def tree_flatten(self):
+        return (self.w, self.b), (self.k, self.has_norm)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        k, has_norm = aux
+        w, b = children
+        return cls(w, b, k, has_norm)
+
+
+def pack_head(head: dict, final_norm_w, dtype=jnp.float32) -> HeadPack:
+    """Pack the decoder tail for in-kernel folding.  Head conv weight
+    [k, D, 1] with cout == 1 (waveform channels) and k - 1 <= 8 (context
+    fits one ctx slot)."""
+    w = head["w"]
+    if isinstance(w, dict):
+        raise ValueError("folded head expects plain weights")
+    k, d, cout = w.shape
+    assert cout == 1, "head folding requires a mono waveform head"
+    assert 0 < k - 1 <= 8, "head conv context must fit the ctx slot"
+    norm = (final_norm_w if final_norm_w is not None else jnp.ones((d,)))
+    rows = jnp.concatenate([norm.astype(jnp.float32)[None],
+                            w[:, :, 0].astype(jnp.float32)])  # [k+1, D]
+    b = head["b"]
+    return HeadPack(rows.astype(dtype),
+                    None if b is None else b.reshape(1).astype(jnp.float32),
+                    k, final_norm_w is not None)
+
+
+def _apply_head(hw_ref, carry, x, *, slot: int, tt: int, hk: int,
+                hnorm: bool, eps: float):
+    """Fold the final RMSNorm + causal head conv (D -> 1, k taps as shifted
+    FMAs + a lane reduction) onto the VMEM-resident stage output; the k-1
+    post-norm context rows carry across tiles in ctx slot `slot`."""
+    h = x
+    if hnorm:
+        h = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+        h = h * hw_ref[0][None, None, :]
+    c = hk - 1
+    hh = jnp.concatenate([carry[:, slot, :c], h], axis=1)  # [R, Tt+k-1, D]
+    carry[:, slot, :c] = h[:, tt - c:]
+    m = hh[:, 0:tt] * hw_ref[1][None, None, :]
+    for tap in range(1, hk):
+        m = m + hh[:, tap:tap + tt] * hw_ref[1 + tap][None, None, :]
+    return jnp.sum(m, axis=-1, keepdims=True)  # [R, Tt, 1]
+
+
 def _apply_blocks(vecs_ref, mixw_ref, w1_ref, w2_ref, carry, x,
                   *, n: int, tt: int, d: int, r: int, eps: float):
     """The N-Block1D chain on a VMEM-resident [R, Tt, D] activation."""
@@ -120,31 +179,12 @@ def _apply_blocks(vecs_ref, mixw_ref, w1_ref, w2_ref, carry, x,
     return x
 
 
-def _kernel(vecs_ref, mixw_ref, w1_ref, w2_ref, ctx_in_ref,
-            x_ref, o_ref, ctx_out_ref, carry,
-            *, n: int, tt: int, d: int, r: int, eps: float):
-    it = pl.program_id(1)
-    nt = pl.num_programs(1)
+def _make_kernel(*, n: int, tt: int, d: int, r: int, eps: float,
+                 conv=None, head=None):
+    """Build the stage kernel with an optional folded transition-conv
+    PROLOGUE and an optional folded norm+head EPILOGUE.
 
-    @pl.when(it == 0)
-    def _load_ctx():
-        carry[:] = ctx_in_ref[:].astype(jnp.float32)  # [R, N, 8, D], rows 0..5 used
-
-    x = x_ref[:].astype(jnp.float32)  # [R, Tt, D]
-    x = _apply_blocks(vecs_ref, mixw_ref, w1_ref, w2_ref, carry, x,
-                      n=n, tt=tt, d=d, r=r, eps=eps)
-    o_ref[:] = x.astype(o_ref.dtype)
-
-    @pl.when(it == nt - 1)
-    def _emit_ctx():
-        ctx_out_ref[:] = carry[:].astype(ctx_out_ref.dtype)
-
-
-def _kernel_conv(vecs_ref, mixw_ref, w1_ref, w2_ref, cw_ref, cb_ref, ctx_in_ref,
-                 x_ref, o_ref, ctx_out_ref, carry,
-                 *, n: int, tt: int, d: int, r: int, eps: float,
-                 kind: str, s: int, k: int, cin: int, ctxlen: int):
-    """Stage kernel with the preceding transition conv folded in.
+    conv=(kind, s, k, cin, ctxlen) folds the preceding transition conv:
 
     kind="up": x_ref is the PRE-upsample [R, Tt//s, Din] tile.  The
     transposed conv (k=2s) runs as 2s per-tap matmuls ([R·Ti, Din] @
@@ -160,67 +200,98 @@ def _kernel_conv(vecs_ref, mixw_ref, w1_ref, w2_ref, cw_ref, cb_ref, ctx_in_ref,
     rows); tap outputs are summed at shifted offsets and the stride-s
     decimation is a sublane split + index — identical streaming semantics
     to causal_conv1d_streaming.
+
+    head=(hk, hnorm) folds the decoder tail (final RMSNorm + k-tap causal
+    head conv D -> 1, `_apply_head`) so the LAST stage emits the waveform
+    tile [R, Tt, 1] directly and the [B, T, D] stage output never
+    round-trips HBM; the post-norm context rides in the last ctx slot.
+    Ref slot order: vecs, mixw, w1, w2, [cw, cb,] [hw,] ctx_in, x.
     """
-    it = pl.program_id(1)
-    nt = pl.num_programs(1)
+    def kernel(*refs):
+        vecs_ref, mixw_ref, w1_ref, w2_ref = refs[:4]
+        idx = 4
+        if conv is not None:
+            cw_ref, cb_ref = refs[idx:idx + 2]
+            idx += 2
+        if head is not None:
+            hw_ref = refs[idx]
+            idx += 1
+        ctx_in_ref, x_ref, o_ref, ctx_out_ref, carry = refs[idx:idx + 5]
 
-    @pl.when(it == 0)
-    def _load_ctx():
-        carry[:] = ctx_in_ref[:].astype(jnp.float32)  # [R, N+1, 8, D]
+        it = pl.program_id(1)
+        nt = pl.num_programs(1)
 
-    wdt = cw_ref.dtype
-    xin = x_ref[:].astype(jnp.float32)
-    if kind == "up":
-        ti = tt // s
-        x2 = xin.reshape(r * ti, cin).astype(wdt)
-        ya, yb = [], []
-        # taps: out[t = i·s + j] = xin[i] @ W[j] + xin[i-1] @ W[s+j]
-        for j in range(s):
-            a = jax.lax.dot_general(x2, cw_ref[j], (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            bm = jax.lax.dot_general(x2, cw_ref[s + j], (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ya.append(a.reshape(r, ti, 1, d))
-            yb.append(bm.reshape(r, ti, 1, d))
-        ya = jnp.concatenate(ya, axis=2)  # [R, Ti, s, D]
-        yb = jnp.concatenate(yb, axis=2)
-        tail = carry[:, n, :s, :][:, None]  # [R, 1, s, D]
-        prev = (jnp.concatenate([tail, yb[:, :ti - 1]], axis=1)
-                if ti > 1 else tail)
-        carry[:, n, :s, :] = yb[:, ti - 1]
-        x = (ya + prev).reshape(r, tt, d) + cb_ref[0][None, None, :]
-    else:
-        ctx = carry[:, n, :ctxlen, :cin]
-        full = jnp.concatenate([ctx, xin], axis=1)  # [R, ctxlen + Tt*s, Cin]
-        carry[:, n, :ctxlen, :cin] = full[:, full.shape[1] - ctxlen:]
-        rows = tt * s
-        f2 = full.reshape(r * (ctxlen + rows), cin).astype(wdt)
-        z = None
-        # out[t] = Σ_τ full[t·s + τ] @ W[τ]  -> per-tap matmul over all rows,
-        # summed at shifted offsets, then stride-s decimation.  Taps with
-        # τ > ctxlen overrun the row budget by τ - ctxlen; the overrun rows
-        # only reach z[u] with u > rows - s, which the decimation never
-        # reads, so they are padded with zeros.
-        for tau in range(k):
-            yt = jax.lax.dot_general(f2, cw_ref[tau], (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            yt = yt.reshape(r, ctxlen + rows, d)[:, tau:tau + rows]
-            short = rows - yt.shape[1]
-            if short > 0:
-                yt = jnp.concatenate(
-                    [yt, jnp.zeros((r, short, d), jnp.float32)], axis=1)
-            z = yt if z is None else z + yt
-        if s > 1:
-            z = z.reshape(r, tt, s, d)[:, :, 0]
-        x = z + cb_ref[0][None, None, :]
+        @pl.when(it == 0)
+        def _load_ctx():
+            carry[:] = ctx_in_ref[:].astype(jnp.float32)  # [R, slots, 8, D]
 
-    x = _apply_blocks(vecs_ref, mixw_ref, w1_ref, w2_ref, carry, x,
-                      n=n, tt=tt, d=d, r=r, eps=eps)
-    o_ref[:] = x.astype(o_ref.dtype)
+        xin = x_ref[:].astype(jnp.float32)
+        if conv is None:
+            x = xin  # [R, Tt, D]
+        else:
+            kind, s, k, cin, ctxlen = conv
+            wdt = cw_ref.dtype
+            if kind == "up":
+                ti = tt // s
+                x2 = xin.reshape(r * ti, cin).astype(wdt)
+                ya, yb = [], []
+                # taps: out[t = i·s + j] = xin[i] @ W[j] + xin[i-1] @ W[s+j]
+                for j in range(s):
+                    a = jax.lax.dot_general(x2, cw_ref[j], (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                    bm = jax.lax.dot_general(x2, cw_ref[s + j], (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
+                    ya.append(a.reshape(r, ti, 1, d))
+                    yb.append(bm.reshape(r, ti, 1, d))
+                ya = jnp.concatenate(ya, axis=2)  # [R, Ti, s, D]
+                yb = jnp.concatenate(yb, axis=2)
+                tail = carry[:, n, :s, :][:, None]  # [R, 1, s, D]
+                prev = (jnp.concatenate([tail, yb[:, :ti - 1]], axis=1)
+                        if ti > 1 else tail)
+                carry[:, n, :s, :] = yb[:, ti - 1]
+                x = (ya + prev).reshape(r, tt, d) + cb_ref[0][None, None, :]
+            else:
+                ctx = carry[:, n, :ctxlen, :cin]
+                full = jnp.concatenate([ctx, xin], axis=1)  # [R, ctxlen + Tt*s, Cin]
+                carry[:, n, :ctxlen, :cin] = full[:, full.shape[1] - ctxlen:]
+                rows = tt * s
+                f2 = full.reshape(r * (ctxlen + rows), cin).astype(wdt)
+                z = None
+                # out[t] = Σ_τ full[t·s + τ] @ W[τ]  -> per-tap matmul over
+                # all rows, summed at shifted offsets, then stride-s
+                # decimation.  Taps with τ > ctxlen overrun the row budget by
+                # τ - ctxlen; the overrun rows only reach z[u] with
+                # u > rows - s, which the decimation never reads, so they are
+                # padded with zeros.
+                for tau in range(k):
+                    yt = jax.lax.dot_general(f2, cw_ref[tau], (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
+                    yt = yt.reshape(r, ctxlen + rows, d)[:, tau:tau + rows]
+                    short = rows - yt.shape[1]
+                    if short > 0:
+                        yt = jnp.concatenate(
+                            [yt, jnp.zeros((r, short, d), jnp.float32)], axis=1)
+                    z = yt if z is None else z + yt
+                if s > 1:
+                    z = z.reshape(r, tt, s, d)[:, :, 0]
+                x = z + cb_ref[0][None, None, :]
 
-    @pl.when(it == nt - 1)
-    def _emit_ctx():
-        ctx_out_ref[:] = carry[:].astype(ctx_out_ref.dtype)
+        x = _apply_blocks(vecs_ref, mixw_ref, w1_ref, w2_ref, carry, x,
+                          n=n, tt=tt, d=d, r=r, eps=eps)
+        if head is None:
+            o_ref[:] = x.astype(o_ref.dtype)
+        else:
+            hk, hnorm = head
+            slot = n + (1 if conv is not None else 0)
+            y = _apply_head(hw_ref, carry, x, slot=slot, tt=tt, hk=hk,
+                            hnorm=hnorm, eps=eps)
+            o_ref[:] = y.astype(o_ref.dtype)
+
+        @pl.when(it == nt - 1)
+        def _emit_ctx():
+            ctx_out_ref[:] = carry[:].astype(ctx_out_ref.dtype)
+
+    return kernel
 
 
 def _tile(t: int, want: int = 400, mult: int = 1) -> int:
@@ -287,125 +358,145 @@ def pack_down_conv(dp: dict, stride: int, dtype=jnp.float32) -> dict:
 def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
                       eps: float = 1e-5,
                       tile_want: int = 400,
-                      conv_state: Optional[jnp.ndarray] = None):
+                      conv_state: Optional[jnp.ndarray] = None,
+                      head_state: Optional[jnp.ndarray] = None):
     """Run one large-T stage for a batch.
 
-    Without a folded conv: x [B, T, D] (T > 8, statically tiled), ctx
-    [B, N, 6, D] per-block conv context -> (y [B, T, D], new_ctx).
+    Without folds: x [B, T, D] (T > 8, statically tiled), ctx [B, N, 6, D]
+    per-block conv context -> (y [B, T, D], new_ctx).
 
     With packed["conv"] present, x is the PRE-transition tensor
     ([B, T//s, Din] for "up", [B, T·s, Cin] for "down") and `conv_state` the
     conv's streaming state rows ([B, s, D] transposed-conv tail / [B, k-s,
-    Cin] conv buf) -> (y, new_ctx, new_conv_state).  `tile_want` sets the
-    T-tile target (on-chip sweep: scripts/experiments/stage_tile_sweep.py).
+    Cin] conv buf); `new_conv_state` is appended to the returns.
+
+    With packed["head"] present (a HeadPack — the decoder tail folded onto
+    the LAST stage), `head_state` is the head conv's [B, hk-1, D] post-norm
+    context, y becomes the waveform [B, T, 1], and `new_head_state` is
+    appended last.  `tile_want` sets the T-tile target (on-chip sweep:
+    scripts/experiments/stage_tile_sweep.py).
     """
     conv = packed.get("conv") if isinstance(packed, dict) else None
+    hp = packed.get("head") if isinstance(packed, dict) else None
     n = packed["vecs"].shape[0]
-    f = packed["w1"].shape[2]
-    if conv is None:
-        bsz, t, d = x.shape
-        tt = _tile(t, tile_want, mult=8)
-        assert t % tt == 0 and tt > CTX
-        nt = t // tt
-        r = _rows_per_step(bsz, tt, d, f)
-        ctx_pad = jnp.pad(ctx, ((0, 0), (0, 0), (0, 8 - CTX), (0, 0)))
-
-        kernel = functools.partial(_kernel, n=n, tt=tt, d=d, r=r, eps=eps)
-        y, new_ctx = pl.pallas_call(
-            kernel,
-            interpret=jax.default_backend() == "cpu",
-            grid=(bsz // r, nt),
-            in_specs=[
-                pl.BlockSpec((n, 8, d), lambda b, i: (0, 0, 0)),
-                pl.BlockSpec((n, 8, d), lambda b, i: (0, 0, 0)),
-                pl.BlockSpec((n, d + 8, f), lambda b, i: (0, 0, 0)),
-                pl.BlockSpec((n, f, d), lambda b, i: (0, 0, 0)),
-                pl.BlockSpec((r, n, 8, d), lambda b, i: (b, 0, 0, 0)),
-                pl.BlockSpec((r, tt, d), lambda b, i: (b, i, 0)),
-            ],
-            out_specs=(
-                pl.BlockSpec((r, tt, d), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((r, n, 8, d), lambda b, i: (b, 0, 0, 0)),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((bsz, t, d), x.dtype),
-                jax.ShapeDtypeStruct((bsz, n, 8, d), ctx.dtype),
-            ),
-            scratch_shapes=[pltpu.VMEM((r, n, 8, d), jnp.float32)],
-        )(packed["vecs"], packed["mixw"], packed["w1"], packed["w2"], ctx_pad, x)
-        return y, new_ctx[:, :, :CTX]
-
-    kind, s, k, cin = conv.kind, conv.s, conv.k, conv.cin
     d = packed["vecs"].shape[2]
+    f = packed["w1"].shape[2]
     bsz = x.shape[0]
-    t = x.shape[1] * s if kind == "up" else x.shape[1] // s
-    tt = _tile(t, tile_want, mult=8 * s if kind == "up" else 8)
-    assert t % tt == 0 and tt > CTX and (kind != "up" or tt % s == 0)
+    if conv is None:
+        t = x.shape[1]
+        tt = _tile(t, tile_want, mult=8)
+    else:
+        t = x.shape[1] * conv.s if conv.kind == "up" else x.shape[1] // conv.s
+        tt = _tile(t, tile_want, mult=8 * conv.s if conv.kind == "up" else 8)
+    assert t % tt == 0 and tt > CTX
+    assert conv is None or conv.kind != "up" or tt % conv.s == 0
+    assert hp is None or tt > hp.k - 1
     nt = t // tt
-    ctxlen = k - s
 
     # VMEM accounting: Mosaic pads the lane (last) dim to 128 and fp32
     # sublanes to 8, so small-D stages cost up to 4x their logical bytes
-    def _lpad(x: int) -> int:
-        return -(-x // 128) * 128
+    def _lpad(v: int) -> int:
+        return -(-v // 128) * 128
 
-    d_eff, cin_eff, f_eff = _lpad(d), _lpad(cin), _lpad(max(f, d + 8))
-    if kind == "up":
-        # ya/yb/prev stacks + per-tap dot outputs + the input tile
-        extra = (3 * tt * d_eff + 2 * s * (tt // s) * d_eff
-                 + (tt // s) * cin_eff) * 4
+    d_eff, f_eff = _lpad(d), _lpad(max(f, d + 8))
+    extra = 0
+    if conv is not None:
+        cin_eff = _lpad(conv.cin)
+        ctxlen = conv.k - conv.s
+        if conv.kind == "up":
+            # ya/yb/prev stacks + per-tap dot outputs + the input tile
+            extra += (3 * tt * d_eff + 2 * conv.s * (tt // conv.s) * d_eff
+                      + (tt // conv.s) * cin_eff) * 4
+        else:
+            # full input + z/yt accumulators over the pre-decimation rows
+            extra += ((ctxlen + tt * conv.s) * cin_eff
+                      + 2 * tt * conv.s * d_eff) * 4
+    if hp is not None:
+        extra += 2 * tt * d_eff * 4  # post-norm window + tap accumulator
+    if conv is None and hp is None:
+        r = _rows_per_step(bsz, tt, d, f)
     else:
-        # full input + z/yt accumulators over the pre-decimation rows
-        extra = ((ctxlen + tt * s) * cin_eff + 2 * tt * s * d_eff) * 4
-    r = _rows_per_step(bsz, tt, d_eff, f_eff, extra_per_r=extra,
-                       budget=24 * 1024 * 1024)
+        r = _rows_per_step(bsz, tt, d_eff, f_eff, extra_per_r=extra,
+                           budget=24 * 1024 * 1024)
 
-    # ctx slot N carries the conv streaming state (zero-padded to [8, D])
-    ctx_pad = jnp.pad(ctx, ((0, 0), (0, 0), (0, 8 - CTX), (0, 0)))
-    cdim = d if kind == "up" else cin
-    crows = s if kind == "up" else ctxlen
-    cslot = jnp.pad(conv_state.astype(ctx.dtype),
-                    ((0, 0), (0, 8 - crows), (0, d - cdim)))[:, None]
-    ctx_pad = jnp.concatenate([ctx_pad, cslot], axis=1)  # [B, N+1, 8, D]
+    # ctx slots after the N block contexts: [conv state][head context],
+    # each zero-padded to [8, D]
+    nslots = n + (1 if conv is not None else 0) + (1 if hp is not None else 0)
+    parts = [jnp.pad(ctx, ((0, 0), (0, 0), (0, 8 - CTX), (0, 0)))]
+    if conv is not None:
+        cdim = d if conv.kind == "up" else conv.cin
+        crows = conv.s if conv.kind == "up" else conv.k - conv.s
+        parts.append(jnp.pad(conv_state.astype(ctx.dtype),
+                             ((0, 0), (0, 8 - crows), (0, d - cdim)))[:, None])
+    if hp is not None:
+        hc = hp.k - 1
+        parts.append(jnp.pad(head_state.astype(ctx.dtype),
+                             ((0, 0), (0, 8 - hc), (0, 0)))[:, None])
+    ctx_full = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
-    if kind == "up":
-        in_block = (r, tt // s, cin)
+    in_specs = [
+        pl.BlockSpec((n, 8, d), lambda b, i: (0, 0, 0)),
+        pl.BlockSpec((n, 8, d), lambda b, i: (0, 0, 0)),
+        pl.BlockSpec((n, d + 8, f), lambda b, i: (0, 0, 0)),
+        pl.BlockSpec((n, f, d), lambda b, i: (0, 0, 0)),
+    ]
+    inputs = [packed["vecs"], packed["mixw"], packed["w1"], packed["w2"]]
+    if conv is not None:
+        in_specs += [pl.BlockSpec(conv.w.shape, lambda b, i: (0, 0, 0)),
+                     pl.BlockSpec(conv.b.shape, lambda b, i: (0, 0))]
+        inputs += [conv.w, conv.b]
+    if hp is not None:
+        in_specs.append(pl.BlockSpec(hp.w.shape, lambda b, i: (0, 0)))
+        inputs.append(hp.w)
+    in_specs.append(pl.BlockSpec((r, nslots, 8, d), lambda b, i: (b, 0, 0, 0)))
+    inputs.append(ctx_full)
+    if conv is None:
+        in_block = (r, tt, d)
+    elif conv.kind == "up":
+        in_block = (r, tt // conv.s, conv.cin)
     else:
-        in_block = (r, tt * s, cin)
+        in_block = (r, tt * conv.s, conv.cin)
+    in_specs.append(pl.BlockSpec(in_block, lambda b, i: (b, i, 0)))
+    inputs.append(x)
 
-    kernel = functools.partial(_kernel_conv, n=n, tt=tt, d=d, r=r, eps=eps,
-                               kind=kind, s=s, k=k, cin=cin, ctxlen=ctxlen)
+    od = 1 if hp is not None else d
+    kernel = _make_kernel(
+        n=n, tt=tt, d=d, r=r, eps=eps,
+        conv=None if conv is None else (conv.kind, conv.s, conv.k, conv.cin,
+                                        conv.k - conv.s),
+        head=None if hp is None else (hp.k, hp.has_norm))
+    # the folded-conv/head intermediates exceed Mosaic's default 16 MB
+    # scoped-vmem stack at large row groups; v5e VMEM is 128 MB
+    compiler_params = (pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+                       if (conv is not None or hp is not None) else None)
     y, new_ctx = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
-        # the conv intermediates exceed Mosaic's default 16 MB scoped-vmem
-        # stack at large row groups; v5e VMEM is 128 MB
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        compiler_params=compiler_params,
         grid=(bsz // r, nt),
-        in_specs=[
-            pl.BlockSpec((n, 8, d), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((n, 8, d), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((n, d + 8, f), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((n, f, d), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec(conv.w.shape, lambda b, i: (0, 0, 0)),
-            pl.BlockSpec(conv.b.shape, lambda b, i: (0, 0)),
-            pl.BlockSpec((r, n + 1, 8, d), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec(in_block, lambda b, i: (b, i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((r, tt, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((r, n + 1, 8, d), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((r, tt, od), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((r, nslots, 8, d), lambda b, i: (b, 0, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, t, d), x.dtype),
-            jax.ShapeDtypeStruct((bsz, n + 1, 8, d), ctx.dtype),
+            jax.ShapeDtypeStruct((bsz, t, od), x.dtype),
+            jax.ShapeDtypeStruct((bsz, nslots, 8, d), ctx.dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((r, n + 1, 8, d), jnp.float32)],
-    )(packed["vecs"], packed["mixw"], packed["w1"], packed["w2"],
-      conv.w, conv.b, ctx_pad, x)
-    new_conv_state = new_ctx[:, n, :crows, :cdim]
-    return y, new_ctx[:, :n, :CTX], new_conv_state
+        scratch_shapes=[pltpu.VMEM((r, nslots, 8, d), jnp.float32)],
+    )(*inputs)
+
+    if hp is not None and hp.b is not None:
+        y = y + hp.b.astype(y.dtype)
+    out = (y, new_ctx[:, :n, :CTX])
+    slot = n
+    if conv is not None:
+        out += (new_ctx[:, slot, :crows, :cdim],)
+        slot += 1
+    if hp is not None:
+        out += (new_ctx[:, slot, :hp.k - 1, :],)
+    return out
 
 
 __all__ = ["fused_stage_chain", "pack_stage", "pack_up_conv", "pack_down_conv",
-           "ConvPack"]
+           "pack_head", "ConvPack", "HeadPack"]

@@ -31,6 +31,7 @@ class VibeVoiceTTS:
                  algorithm_type: str = "dpmsolver++", kv_dtype: str = "model",
                  int4_group_size: Optional[int] = None,
                  quantize_tokenizer: Optional[str] = None,
+                 quantize_diffusion: Optional[str] = None,
                  tokenizer_min_dim: int = 512,
                  use_fused_stages: bool = False,
                  keep_audio: bool = True,
@@ -58,6 +59,17 @@ class VibeVoiceTTS:
         #             + int8 everywhere else: the measured-best B=1 config
         #             (37.7 RTF vs 34.4 for plain int8 tok, same session)
         self._chain_packs = None
+        # quantize_diffusion="int4k": the per-solver-step head FFN weights as
+        # ONE fused int4 kernel per step (ops/fused_head.py) — halves the
+        # 5x-per-frame head re-read.  Opt-in: it quantizes the weights that
+        # produce the output latent (quality-harness-gated like int4k).
+        self._head_packq = None
+        if quantize_diffusion is not None:
+            if quantize_diffusion != "int4k":
+                raise ValueError(f"quantize_diffusion must be 'int4k', "
+                                 f"got {quantize_diffusion}")
+            from .ops.fused_head import pack_head_solver_q
+            self._head_packq = pack_head_solver_q(params["diffusion_head"])
         tok_mode = quantize_tokenizer
         tok_skip = None
         if quantize_tokenizer == "int4k":
@@ -87,6 +99,16 @@ class VibeVoiceTTS:
                                  f"'int4k', got {quantize_tokenizer}")
             params = quantize_tokenizers(params, mode=tok_mode,
                                          min_dim=tokenizer_min_dim, skip=tok_skip)
+        if self._head_packq is not None:
+            # stash the pack; drop the now-unused per-step FFN weights (bf16
+            # ~255 MB / int8 ~85 MB would otherwise idle in HBM)
+            params = dict(params)
+            params["_diffusion_head_packq"] = self._head_packq
+            headp = dict(params["diffusion_head"])
+            headp["layers"] = [
+                {k: (None if k in ("gate", "up", "down", "gateup") else v)
+                 for k, v in lp.items()} for lp in headp["layers"]]
+            params["diffusion_head"] = headp
         if self._chain_packs is not None:
             # stash packs in the params tree and drop the packed stages' now-
             # unused FFN weights (would otherwise idle in HBM — ~1.1 GB bf16)
