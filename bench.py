@@ -14,6 +14,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 Baseline 1.0 == realtime (the reference publishes no RTF number; >1x
 realtime per chip is the BASELINE.md north-star target).
+
+Tunnel-wedge handling (round 5): the remote-TPU relay can wedge for
+10-30 min (every device op hangs, then recovers — CLAUDE.md).  Instead of a
+single short watchdog, the run records a phase-timeline heartbeat; a
+PATIENT watchdog only falls back to the last locally-measured value once no
+phase progress has been made for `BENCH_STALL_S` (default 1500 s — past the
+observed wedge window) or the absolute `BENCH_WATCHDOG_S` cap (default
+3300 s) is hit.  Fallback output attaches the full timeline so a stale
+value is auditable, and live output carries per-chunk raw timings.
 """
 import json
 import os
@@ -24,28 +33,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Watchdog: the remote-TPU tunnel can wedge indefinitely (ROUND1_NOTES.md).
-# If the live measurement doesn't finish in time, emit the most recent
-# measured value from BENCH_LOCAL.json, clearly marked as stale, and exit —
-# never hang the driver.
-_WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "540"))
+_T0 = time.time()
+_TIMELINE = []  # [(phase, t_rel_s)] — progress heartbeat for the watchdog
+_LOCK = threading.Lock()
+
+
+def _mark(phase: str):
+    with _LOCK:
+        _TIMELINE.append({"phase": phase, "t": round(time.time() - _T0, 1)})
+    print(f"# [{time.time()-_T0:7.1f}s] {phase}", flush=True)
+
+
+def _timeline():
+    with _LOCK:
+        return list(_TIMELINE)
+
+
+# Absolute cap and no-progress stall threshold.  The stall threshold is the
+# real trigger: as long as phases keep completing, the run is alive (cold
+# compiles + tunnel hiccups routinely exceed any fixed short deadline).
+_WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "3300"))
+_STALL_S = int(os.environ.get("BENCH_STALL_S", "1500"))
 
 
 def _watchdog():
-    time.sleep(_WATCHDOG_S)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json")) as f:
-            rec = json.load(f)["headline"]
-        rec = dict(rec)
-        rec["stale_from_earlier_run"] = True
-        rec["note"] = "remote TPU tunnel unresponsive; value measured earlier this round"
-        print(json.dumps(rec), flush=True)
-    except Exception:
-        print(json.dumps({"metric": "audio_sec_per_s_per_chip_1.5B", "value": 0.0,
-                          "unit": "audio-sec/s (RTF)", "vs_baseline": 0.0,
-                          "error": "tpu tunnel unresponsive"}), flush=True)
-    os._exit(0)
+    while True:
+        time.sleep(15)
+        tl = _timeline()
+        now = time.time() - _T0
+        last = tl[-1]["t"] if tl else 0.0
+        if now - last > _STALL_S or now > _WATCHDOG_S:
+            reason = (f"no phase progress for {now - last:.0f}s"
+                      if now - last > _STALL_S else
+                      f"absolute cap {_WATCHDOG_S}s reached")
+            try:
+                with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "BENCH_LOCAL.json")) as f:
+                    rec = dict(json.load(f)["headline"])
+                rec["stale_from_earlier_run"] = True
+                rec["note"] = ("remote TPU tunnel unresponsive; value measured "
+                               "earlier this round")
+            except Exception:
+                rec = {"metric": "audio_sec_per_s_per_chip_1.5B", "value": 0.0,
+                       "unit": "audio-sec/s (RTF)", "vs_baseline": 0.0,
+                       "error": "tpu tunnel unresponsive"}
+            rec["watchdog_reason"] = reason
+            rec["attempt_timeline_s"] = tl
+            print(json.dumps(rec), flush=True)
+            os._exit(0)
 
 
 threading.Thread(target=_watchdog, daemon=True).start()
@@ -61,18 +96,24 @@ def main():
     from vibevoice_tpu.engine import generate as G
     from vibevoice_tpu.models import vibevoice
 
+    _mark("start")
+    # tunnel health probe: a trivial op.  If the relay is wedged this hangs
+    # here — the stall watchdog gives it the full wedge window to recover.
+    x = jnp.ones((128, 128))
+    _ = int(np.asarray((x @ x).sum()))
+    _mark("tunnel probe ok")
+
     cfg = vibevoice_1_5b()
     sr = 24000
     hop = cfg.speech_compress_ratio
     frame_sec = hop / sr  # 0.1333s per frame at 7.5 Hz
 
-    t0 = time.perf_counter()
     params = jax.jit(lambda k: vibevoice.init_model(k, cfg, dtype=jnp.bfloat16))(
         jax.random.PRNGKey(0))
     params["speech_scaling_factor"] = jnp.asarray(1.0)
     params["speech_bias_factor"] = jnp.asarray(0.0)
-    jax.block_until_ready(params["lm"]["embed"])
-    print(f"# init {time.perf_counter()-t0:.1f}s", flush=True)
+    _ = float(np.asarray(params["lm"]["embed"][0, 0]))  # true device sync
+    _mark("params init")
 
     # reference production serving config (gradio_demo.py:35,:114-118)
     gen = G.GenerationConfig(
@@ -81,39 +122,46 @@ def main():
         algorithm_type="sde-dpmsolver++", force_diffusion=True,
     )
 
-    batch, prompt_len, max_steps = 1, 64, 128
+    batch, prompt_len, max_steps = 1, 64, 256
     eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=batch,
                    prompt_len=prompt_len, dtype=jnp.bfloat16)
+    _mark("engine built")
 
     ids = np.random.default_rng(0).integers(0, 1000, (batch, prompt_len)).astype(np.int32)
     mask = np.ones((batch, prompt_len), np.int32)
     sim = np.zeros((batch, prompt_len), bool)
 
     n_bench = 64
-    t0 = time.perf_counter()
     state, _ = eng.prefill(ids, mask, sim)
     jax.block_until_ready(state.frames)
-    print(f"# prefill {time.perf_counter()-t0:.1f}s", flush=True)
+    _mark("prefill")
 
-    t0 = time.perf_counter()
     state, _ = eng.decode_chunk(state, n_bench)  # warmup: compile + run
-    f0 = int(np.asarray(state.frames).sum())     # true sync (tunnel-safe)
-    print(f"# chunk warmup {time.perf_counter()-t0:.1f}s", flush=True)
+    f_prev = int(np.asarray(state.frames).sum())  # true sync (tunnel-safe)
+    _mark("chunk warmup (compile)")
 
     # block_until_ready is not a reliable barrier over remote-device tunnels;
     # a scalar device fetch is. Its ~ms latency is amortized over the chunk.
-    t0 = time.perf_counter()
-    state, _ = eng.decode_chunk(state, n_bench)
-    f1 = int(np.asarray(state.frames).sum())
-    dt = time.perf_counter() - t0
+    chunks = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        state, _ = eng.decode_chunk(state, n_bench)
+        f_now = int(np.asarray(state.frames).sum())
+        dt = time.perf_counter() - t0
+        # count frames actually emitted in the timed chunk (a step at the
+        # max-step cap is a finished no-op and must not be credited)
+        frames = f_now - f_prev
+        f_prev = f_now
+        chunks.append({"steps": n_bench, "frames": frames,
+                       "wall_s": round(dt, 4),
+                       "rtf": round(frames * frame_sec / dt, 4)})
+        _mark(f"timed chunk {i}: {chunks[-1]['rtf']} RTF")
 
-    # count frames actually emitted in the timed chunk (a step at the
-    # max-step cap is a finished no-op and must not be credited)
-    frames = f1 - f0
-    audio_sec = frames * frame_sec
-    rtf = audio_sec / dt
+    total_frames = sum(c["frames"] for c in chunks)
+    total_dt = sum(c["wall_s"] for c in chunks)
+    rtf = total_frames * frame_sec / total_dt
 
-    print(json.dumps({
+    rec = {
         "metric": "audio_sec_per_s_per_chip_1.5B",
         "value": round(rtf, 4),
         "unit": "audio-sec/s (RTF)",
@@ -124,8 +172,24 @@ def main():
             "int4f LM + int4k sigma-VAE + fused stages + folded convs (B=1 best)": 38.4,
             "int4 LM + int8 sigma-VAE stacks": 33.8,
             "batch8 int8 LM + int4k + fused stage kernel (tile 200) audio-sec/s": 196.9},
-        "note": "r4 numbers keep token selection live (r1-r3 benches let XLA DCE it)",
-    }))
+        "note": "live measurement; selection path kept live (r1-r3 benches let XLA DCE it)",
+        "raw_chunks": chunks,
+        "attempt_timeline_s": _timeline(),
+    }
+    print(json.dumps(rec), flush=True)
+    # refresh the local fallback record with this live run
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+        with open(path) as f:
+            local = json.load(f)
+        local["headline"] = {k: v for k, v in rec.items()
+                             if k not in ("raw_chunks", "attempt_timeline_s")}
+        local["headline_measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(path, "w") as f:
+            json.dump(local, f, indent=1)
+    except Exception as e:
+        print(f"# BENCH_LOCAL refresh failed: {e}", flush=True)
 
 
 if __name__ == "__main__":

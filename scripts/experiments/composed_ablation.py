@@ -85,14 +85,26 @@ def stub_enc_fused(p, c, x, states, fused_packs=None, large_packs=None,
             + x.sum() * 1e-9, states)
 
 
-def id_stage(packed, x, ctx, eps=1e-5, tile_want=400, conv_state=None):
+def id_stage(packed, x, ctx, eps=1e-5, tile_want=400, conv_state=None,
+             head_state=None, **kw):
     conv = packed.get("conv") if isinstance(packed, dict) else None
-    if conv is None:
-        return x, ctx
+    hp = packed.get("head") if isinstance(packed, dict) else None
     d = packed["vecs"].shape[2]
-    t = x.shape[1] * conv.s if conv.kind == "up" else x.shape[1] // conv.s
-    y = jnp.zeros((x.shape[0], t, d), x.dtype) + x.sum() * 1e-9
-    return y, ctx, conv_state
+    if conv is None:
+        t = x.shape[1]
+    else:
+        t = x.shape[1] * conv.s if conv.kind == "up" else x.shape[1] // conv.s
+    od = 1 if hp is not None else d
+    if conv is None and hp is None:
+        out = (x, ctx)
+    else:
+        y = jnp.zeros((x.shape[0], t, od), x.dtype) + x.sum() * 1e-9
+        out = (y, ctx)
+    if conv is not None:
+        out += (conv_state,)
+    if hp is not None:
+        out += (head_state,)
+    return out
 
 
 def id_chain_b(packed, x, ctx, eps=1e-5, tile_f=256):

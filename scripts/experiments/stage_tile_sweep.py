@@ -34,7 +34,7 @@ print("# init done", flush=True)
 dec = params["acoustic_decoder"]
 sem = params["semantic_encoder"]
 dec_packs = tokmod.pack_decoder_stages_large(dec, cfg.acoustic_tokenizer, t_min=128,
-                                             fold_conv=False)
+                                             fold_conv=False, fold_head=False)
 sem_packs = tokmod.pack_encoder_stages_large(sem, cfg.semantic_tokenizer, fold_conv=False,
                                              chunk_t=hop, t_min=128)
 

@@ -141,7 +141,10 @@ def fused_head_solver_step(pack: Dict[str, jnp.ndarray], x: jnp.ndarray,
     nl = pack["norms"].shape[0]
     f = pack["wgq"].shape[2]
     lat = final_linear.shape[1]
-    if f % tile_f:  # largest even divisor of F at or under the target
+    # tile_f must be even (the wdq BlockSpec below tiles at tile_f // 2) and
+    # divide F — enforce both even for caller-passed tiles that divide F
+    assert f % 2 == 0, f"fused head requires an even FFN dim, got {f}"
+    if f % tile_f or tile_f % 2:  # largest even divisor of F at or under target
         tile_f = next(tf for tf in range(min(tile_f, f), 0, -1)
                       if f % tf == 0 and tf % 2 == 0)
     nt = f // tile_f
