@@ -1,11 +1,15 @@
-"""Real recorded audio + multilingual end-to-end (VERDICT r3 item 4).
+"""Real audio + multilingual end-to-end (VERDICT r3 item 4 / r4 item 8).
 
 The reference ships Chinese/Hindi voice presets
 (/root/reference/demo/voices/zh-*.wav, in-Samuel_man.wav) and a
 cross-lingual example (demo/text_examples/1p_Ch2EN.txt).  These tests drive
-(a) a REAL recorded voice wav through load_audio -> voice-prompt encode ->
-prefill -> decode, and (b) a non-ASCII Chinese script through
-processor -> engine -> captions, using the repo's own zh example assets.
+(a) a STANDALONE in-repo speech voice wav (formant-synthesized generated
+speech, scripts/make_voice_presets.py — no reference checkout needed)
+through load_audio -> voice-prompt encode -> prefill -> decode, and (b) a
+non-ASCII Chinese script through processor -> engine -> captions, using the
+repo's own zh example assets.  The reference voice library remains an
+OPTIONAL preset extension (VoiceMapper fallback) exercised only when
+mounted.
 """
 import os
 
@@ -13,7 +17,8 @@ import numpy as np
 import pytest
 
 REF_VOICES = "/root/reference/demo/voices"
-ZH_VOICE = os.path.join(REF_VOICES, "zh-Xinran_woman.wav")
+REPO_VOICES = os.path.join(os.path.dirname(__file__), "..", "demo", "voices")
+ZH_VOICE = os.path.join(REPO_VOICES, "zh-Lina_woman.wav")
 ZH_SCRIPT = os.path.join(os.path.dirname(__file__), "..",
                          "demo", "text_examples", "2p_zh_tech.txt")
 
@@ -31,18 +36,16 @@ def _force_diffusion(tts, batch, prompt_len, max_steps):
     return eng
 
 
-@pytest.mark.skipif(not os.path.exists(ZH_VOICE),
-                    reason="reference voice presets not mounted")
-def test_real_recorded_zh_voice_prompt_end_to_end():
-    """A real 24 kHz recorded Chinese voice drives the voice-prompt encode
-    path (acoustic encoder on actual speech, not synthetic noise)."""
+def test_zh_voice_prompt_end_to_end():
+    """The repo's own zh speech voice (generated speech, not noise) drives
+    the voice-prompt encode path — no reference checkout required."""
     import jax.numpy as jnp
     from vibevoice_tpu.configs import tiny_config
     from vibevoice_tpu.pipeline import VibeVoiceTTS
     from vibevoice_tpu.processor.audio import load_audio
 
     wav = load_audio(ZH_VOICE, sampling_rate=24000)
-    assert wav.ndim == 1 and len(wav) > 24000  # real mono recording
+    assert wav.ndim == 1 and len(wav) > 24000  # multi-second mono speech
     assert np.abs(wav).max() <= 1.0 + 1e-6
     # real speech has structure synthetic noise lacks — sanity: nonzero
     # energy and a plausible zero-crossing rate
@@ -98,17 +101,33 @@ def test_zh_script_through_processor_engine_captions(tmp_path):
     assert vtt.startswith("WEBVTT") and "张量处理器" in vtt
 
 
-def test_voice_mapper_exposes_multilingual_presets():
-    """The demo VoiceMapper surfaces the zh-/in- presets wherever the
-    reference checkout is mounted (ref VoiceMapper :17-90)."""
+def test_voice_mapper_standalone_multilingual_presets():
+    """With the reference library masked out (extra_dirs=()), the repo's OWN
+    voices still provide en/zh/in presets — the repo stands alone (VERDICT r4
+    item 8)."""
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
     from inference_from_file import VoiceMapper
-    vm = VoiceMapper()
-    if not os.path.isdir(REF_VOICES):
-        pytest.skip("reference voices not mounted")
+    vm = VoiceMapper(extra_dirs=())
     assert any(n.startswith("zh-") for n in vm.voice_presets)
     assert any(n.startswith("in-") for n in vm.voice_presets)
+    for name in ("zh-Lina", "zh-Wei", "in-Arjun", "en-Alice"):
+        p = vm.get_voice_path(name)
+        assert p and p.endswith(".wav") and os.path.exists(p)
+        repo_voices = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "demo", "voices"))
+        assert os.path.abspath(p).startswith(repo_voices)
+
+
+def test_voice_mapper_exposes_reference_presets_when_mounted():
+    """The reference voice library is still surfaced as EXTRA presets when
+    mounted (ref VoiceMapper :17-90), with repo presets winning collisions."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
+    from inference_from_file import VoiceMapper
+    if not os.path.isdir(REF_VOICES):
+        pytest.skip("reference voices not mounted")
+    vm = VoiceMapper()
     p = vm.get_voice_path("zh-Xinran")
     assert p and p.endswith(".wav") and os.path.exists(p)
     # the repo's own presets still take precedence on name collisions
