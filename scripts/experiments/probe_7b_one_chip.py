@@ -22,7 +22,9 @@ from vibevoice_tpu.models import qwen2, vibevoice
 from vibevoice_tpu.utils.quantize import (quantize_weight, quantize_weight_int4,
                                            quantize_diffusion_head, quantize_lm_layer)
 
-W = os.environ.get("W", "int8")   # int8 | int4 (weight mode for the LM + head)
+W = os.environ.get("W", "int8")   # int8 | int4 | int4f (LM weight mode;
+                                  # int4f = int4 FFN kernels + int8 attention
+                                  # projections, the r3-best B=1 LM mode)
 B = int(os.environ.get("B", "1"))
 
 cfg = vibevoice_7b()
@@ -64,7 +66,8 @@ for i in range(dec.num_hidden_layers):
     key, lk = jax.random.split(key)
     bf = make_layer_bf16(lk)
     qlp = quant_layer(bf)
-    jax.block_until_ready(qlp["gateup"]["qint4"] if W == "int4" else qlp["gate"]["qint8"])
+    jax.block_until_ready(qlp["gateup"]["qint4"] if W in ("int4", "int4f")
+                          else qlp["gate"]["qint8"])
     del bf
     layers.append(qlp)
 print(f"quantized {len(layers)} LM layers: {time.perf_counter()-t0:.1f}s", flush=True)
@@ -111,8 +114,9 @@ elif os.environ.get("TOK"):
     _eng_kw = {}
 # int8 embedding table (per-row scales) — memory lever for the 16 GB chip
 params["lm"]["embed"] = jax.jit(lambda e: quantize_weight(e, axis=1))(params["lm"]["embed"])
-# untied 7B lm_head: int8
-_qhead = quantize_weight_int4 if W == "int4" else quantize_weight
+# untied 7B lm_head: int4 for the int4/int4f modes (one big per-frame read —
+# the subset head makes decode cheap either way), int8 otherwise
+_qhead = quantize_weight_int4 if W in ("int4", "int4f") else quantize_weight
 params["lm_head"] = jax.jit(lambda k: _qhead(
     jax.random.normal(k, (h, dec.vocab_size), jnp.bfloat16) * std))(jax.random.PRNGKey(2))
 _ = float(params["lm"]["embed"]["qint8"][0, 0])

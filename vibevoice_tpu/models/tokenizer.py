@@ -398,7 +398,8 @@ def encoder_apply_streaming(params: Params, cfg, x: jnp.ndarray, states):
 
 def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
                               t_min: int = 128, fold_conv: bool = True,
-                              fold_head: bool = True):
+                              fold_head: bool = True,
+                              lane_pack: bool = False):
     """Weight packs for the tiled large-T stage kernel (ops/fused_stage.py):
     decoder stages whose per-frame T = prod(ratios[:i]) >= t_min.  These
     stages carry negligible weight bytes but, at batch, most of the σ-VAE's
@@ -435,7 +436,8 @@ def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
             if (fold_conv and i > 0 and not isinstance(up["w"], dict)
                     and up["w"].shape[1] == 2 * strides[i - 1]):
                 packs[i]["conv"] = fs.pack_up_conv(up, strides[i - 1],
-                                                   dtype=dtype)
+                                                   dtype=dtype,
+                                                   lane_pack=lane_pack)
     last = len(depths) - 1
     hw = params["head"]["w"]
     if (fold_head and last in packs and not isinstance(hw, dict)
@@ -446,7 +448,8 @@ def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
 
 
 def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
-                              t_min: int = 128, fold_conv: bool = True):
+                              t_min: int = 128, fold_conv: bool = True,
+                              lane_pack: bool = False):
     """Mirror of `pack_decoder_stages_large` for the semantic re-encode:
     encoder stage i runs at T = chunk_t / prod(strides[:i+1]).  `fold_conv`
     folds each large stage's preceding strided "down" conv (k=2s, or the
@@ -469,7 +472,8 @@ def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
                                     if not isinstance(dp["w"], dict) else 0)
             if (fold_conv and not isinstance(dp["w"], dict)
                     and (s_i == 1 or k_i == 2 * s_i) and 0 < k_i - s_i <= 8):
-                packs[i]["conv"] = fs.pack_down_conv(dp, s_i, dtype=dtype)
+                packs[i]["conv"] = fs.pack_down_conv(dp, s_i, dtype=dtype,
+                                                     lane_pack=lane_pack)
     return packs
 
 
