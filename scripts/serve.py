@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--algorithm_type", default="sde-dpmsolver++")
     ap.add_argument("--voices_dir", default=None)
     ap.add_argument("--no_warm", action="store_true")
+    # /tts/stream buffering policy (reference gradio: first flush at >=30
+    # audio-sec buffered, else on a 15 s cadence)
+    ap.add_argument("--stream_buffer_sec", type=float, default=30.0)
+    ap.add_argument("--stream_cadence_s", type=float, default=15.0)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -67,8 +71,11 @@ def main():
     srv = serve(tts, host=args.host, port=args.port, max_batch=args.max_batch,
                 max_wait_ms=args.max_wait_ms,
                 default_max_new_tokens=args.max_new_tokens,
-                voice_presets=presets)
-    print(f"serving on {args.host}:{srv.port} (POST /tts, GET /healthz /metrics)")
+                voice_presets=presets,
+                stream_buffer_sec=args.stream_buffer_sec,
+                stream_cadence_s=args.stream_cadence_s)
+    print(f"serving on {args.host}:{srv.port} "
+          f"(POST /tts, POST /tts/stream, GET /healthz /metrics)")
     try:
         import time
         while True:
