@@ -228,6 +228,12 @@ def test_engine_auto_policies():
     packs8 = e8.params["_vocoder_packs_large"]
     assert any("conv" in p for p in packs1.values()), "B=1 must fold convs"
     assert not any("conv" in p for p in packs8.values()), "B>=2 must not fold"
+    # head folding measured NEGATIVE at B=1 (-6%) and a wash at B=8 (r5
+    # head_fold_ab) -> off at every batch unless explicitly requested
+    assert not any("head" in p for p in packs1.values())
+    assert not any("head" in p for p in packs8.values())
+    e1h = build(1, fused_stage_fold_head=True)
+    assert any("head" in p for p in e1h.params["_vocoder_packs_large"].values())
     # explicit override beats the auto policy
     e8f = build(8, fused_stage_fold_conv=True, fused_stage_tile=80)
     assert e8f.fused_stage_tile == 80

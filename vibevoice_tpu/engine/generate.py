@@ -223,11 +223,12 @@ class Engine:
             # fold_head: the decoder tail (final norm + head conv) rides the
             # last stage kernel as an epilogue — the [B, 3200, D] stage
             # output never round-trips HBM.  Measured (head_fold_ab.py): a
-            # wash/-0.6% at B=8 (the saved HBM ops were cheap; the in-kernel
-            # head FMAs run on 4x lane-padded D=32 rows), so the auto policy
-            # mirrors fold_conv: dispatch-bound B==1 only.
+            # wash/-0.6% at B=8 AND -6% at B=1 (r5: 35.5/33.1 folded vs 37.9
+            # plain, int4f+int4k+fs — the in-kernel head FMAs run on 4x
+            # lane-padded D=32 rows and the saved HBM ops were cheap), so the
+            # fold stays OFF at every batch; it remains an explicit option.
             if fused_stage_fold_head is None:
-                fused_stage_fold_head = batch == 1
+                fused_stage_fold_head = False
             # lane_pack: folded-conv taps stacked into one [Cin, K*D] matmul
             # + aligned lane slices instead of K per-tap dots (round 5 —
             # fills the 128-lane MXU tiles the per-tap dots waste at D<128).
