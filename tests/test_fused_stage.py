@@ -204,6 +204,68 @@ def test_folded_down_conv_matches_plain(interpret_pallas, s, k, cin, d, t,
                                    atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.parametrize("b,t,d,n,r", [(8, 40, 8, 2, 4), (4, 800, 16, 3, 2),
+                                       (2, 24, 32, 1, 2)])
+def test_rowlane_stage_matches_blocks(interpret_pallas, b, t, d, n, r):
+    """Row-lane layout (R batch rows in the lane dim, block-diagonal FFN
+    weights, matmul group means) == the per-op stage path, including the
+    streaming context round-trip across two chunks."""
+    cfg = AcousticTokenizerConfig()
+    key = jax.random.PRNGKey(5)
+    blocks = _blocks(key, d, n, cfg)
+    packed = fs.pack_stage(blocks, dtype=jnp.float32)
+    packed["rowlane"] = fs.pack_stage_rowlane(blocks, r, dtype=jnp.float32)
+    ctx_p = jax.random.normal(jax.random.fold_in(key, 8), (b, n, 6, d)) * 0.5
+    ctx_f = ctx_p
+    for c in range(2):
+        x = jax.random.normal(jax.random.fold_in(key, 30 + c), (b, t, d)) * 0.5
+        y, ctx_f = fs.fused_stage_chain(packed, x, ctx_f, eps=cfg.layernorm_eps)
+        y_ref, ctx_p = _plain_stage(blocks, cfg, x, ctx_p)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-4, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(ctx_f), np.asarray(ctx_p),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_rowlane_rows_policy():
+    assert fs.rowlane_rows(32, 8) == 4
+    assert fs.rowlane_rows(64, 8) == 2
+    assert fs.rowlane_rows(32, 2) == 2
+    assert fs.rowlane_rows(128, 8) == 1   # no waste at D>=128
+    assert fs.rowlane_rows(32, 1) == 1
+    assert fs.rowlane_rows(32, 6) == 3    # must divide the batch
+
+
+def test_engine_rowlane_smoke(interpret_pallas):
+    """Engine(fused_stage_rowlane=True) at batch == plain engine outputs."""
+    from vibevoice_tpu.engine import generate as G
+    from vibevoice_tpu.models import vibevoice as V
+
+    cfg = tiny_config(vocab_size=320)
+    params = V.init_model(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["speech_scaling_factor"] = jnp.asarray(1.0)
+    params["speech_bias_factor"] = jnp.asarray(0.0)
+    gen = G.GenerationConfig(speech_start_id=256, speech_end_id=257,
+                             speech_diffusion_id=258, eos_id=259,
+                             ddpm_steps=2, force_diffusion=True)
+    ids = np.zeros((2, 16), np.int32)
+    att = np.ones((2, 16), np.int32)
+    sim = np.zeros((2, 16), bool)
+
+    def _run(**kw):
+        eng = G.Engine(dict(params), cfg, gen, max_steps=3, batch=2,
+                       prompt_len=16, dtype=jnp.float32, use_fused_stages=True,
+                       fused_stage_t_min=7, **kw)
+        state, _ = eng.prefill(ids, att, sim)
+        state, _ = eng.decode_chunk(state, 2)
+        return np.asarray(state.audio), np.asarray(state.tokens)
+
+    audio_p, tokens_p = _run()
+    audio_r, tokens_r = _run(fused_stage_rowlane=True)
+    np.testing.assert_array_equal(tokens_p, tokens_r)
+    np.testing.assert_allclose(audio_p, audio_r, atol=2e-4, rtol=2e-3)
+
+
 def test_engine_auto_policies():
     """The measured batch policies (PERFORMANCE.md r4): transition-conv
     folding on iff B==1; stage T-tile 200 iff B>=8 else 400."""

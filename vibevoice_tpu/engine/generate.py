@@ -171,6 +171,7 @@ class Engine:
                  fused_stage_fold_conv: Optional[bool] = None,
                  fused_stage_fold_head: Optional[bool] = None,
                  fused_stage_lane_pack: Optional[bool] = None,
+                 fused_stage_rowlane: Optional[bool] = None,
                  keep_audio: bool = True,
                  kv_dtype: str = "model",
                  mesh=None):
@@ -235,17 +236,26 @@ class Engine:
             # Default off pending the on-chip A/B (lane_pack_ab.py).
             if fused_stage_lane_pack is None:
                 fused_stage_lane_pack = False
+            # rowlane: at batch, fold the rows of the D<128 stages into the
+            # LANE dim ([Tt, R*D] activations, block-diagonal FFN weights) so
+            # the VPU-bound stage work runs full 128-lane vectors — the r5
+            # composed attribution puts 1.07 ms of the 5.38 ms B=8 step in
+            # these kernels vs ~0.14 ms of MXU roofline.  Off by default
+            # pending the on-chip A/B (rowlane_ab.py).
+            if fused_stage_rowlane is None:
+                fused_stage_rowlane = False
+            rl_batch = batch if (fused_stage_rowlane and batch > 1) else 0
             params = dict(params)
             params["_vocoder_packs_large"] = tokenizer.pack_decoder_stages_large(
                 params["acoustic_decoder"], cfg.acoustic_tokenizer,
                 t_min=fused_stage_t_min, fold_conv=fused_stage_fold_conv,
                 fold_head=fused_stage_fold_head,
-                lane_pack=fused_stage_lane_pack)
+                lane_pack=fused_stage_lane_pack, rowlane_batch=rl_batch)
             params["_semantic_packs_large"] = tokenizer.pack_encoder_stages_large(
                 params["semantic_encoder"], cfg.semantic_tokenizer,
                 chunk_t=cfg.speech_compress_ratio, t_min=fused_stage_t_min,
                 fold_conv=fused_stage_fold_conv,
-                lane_pack=fused_stage_lane_pack)
+                lane_pack=fused_stage_lane_pack, rowlane_batch=rl_batch)
         if use_flash_prefill is None:
             # auto: long prompts with TPU-tileable head dim take the Pallas path
             use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0

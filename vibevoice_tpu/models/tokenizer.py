@@ -399,7 +399,8 @@ def encoder_apply_streaming(params: Params, cfg, x: jnp.ndarray, states):
 def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
                               t_min: int = 128, fold_conv: bool = True,
                               fold_head: bool = True,
-                              lane_pack: bool = False):
+                              lane_pack: bool = False,
+                              rowlane_batch: int = 0):
     """Weight packs for the tiled large-T stage kernel (ops/fused_stage.py):
     decoder stages whose per-frame T = prod(ratios[:i]) >= t_min.  These
     stages carry negligible weight bytes but, at batch, most of the σ-VAE's
@@ -438,6 +439,11 @@ def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
                 packs[i]["conv"] = fs.pack_up_conv(up, strides[i - 1],
                                                    dtype=dtype,
                                                    lane_pack=lane_pack)
+            d_i = params["stages"][i][0]["norm_w"].shape[0]
+            r = fs.rowlane_rows(d_i, rowlane_batch) if rowlane_batch else 1
+            if r > 1 and "conv" not in packs[i]:
+                packs[i]["rowlane"] = fs.pack_stage_rowlane(
+                    params["stages"][i], r, dtype=dtype)
     last = len(depths) - 1
     hw = params["head"]["w"]
     if (fold_head and last in packs and not isinstance(hw, dict)
@@ -449,7 +455,8 @@ def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
 
 def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
                               t_min: int = 128, fold_conv: bool = True,
-                              lane_pack: bool = False):
+                              lane_pack: bool = False,
+                              rowlane_batch: int = 0):
     """Mirror of `pack_decoder_stages_large` for the semantic re-encode:
     encoder stage i runs at T = chunk_t / prod(strides[:i+1]).  `fold_conv`
     folds each large stage's preceding strided "down" conv (k=2s, or the
@@ -474,6 +481,11 @@ def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
                     and (s_i == 1 or k_i == 2 * s_i) and 0 < k_i - s_i <= 8):
                 packs[i]["conv"] = fs.pack_down_conv(dp, s_i, dtype=dtype,
                                                      lane_pack=lane_pack)
+            d_i = params["stages"][i][0]["norm_w"].shape[0]
+            r = fs.rowlane_rows(d_i, rowlane_batch) if rowlane_batch else 1
+            if r > 1 and "conv" not in packs[i]:
+                packs[i]["rowlane"] = fs.pack_stage_rowlane(
+                    params["stages"][i], r, dtype=dtype)
     return packs
 
 

@@ -323,6 +323,158 @@ def _make_kernel(*, n: int, tt: int, d: int, r: int, eps: float,
     return kernel
 
 
+def pack_stage_rowlane(blocks, r: int, dtype=jnp.float32):
+    """Row-lane pack (round 5): R batch rows ride the LANE dim so the small-D
+    stages run full 128-lane vectors.
+
+    The r5 composed-B=8 attribution puts 1.07 ms/batch-step in the stage
+    kernels against ~0.14 ms of MXU-roofline FLOPs — the kernels are
+    VPU-bound, and at D=32/64 every [R, Tt, D] vector op pads D to 128
+    lanes (up to 4x waste).  This layout keeps the activation as
+    [Tt, R*D]: all elementwise/mixer work runs at full lanes; the RMSNorm's
+    per-row mean-over-D becomes a matmul with a block-diagonal averaging
+    matrix (each lane receives its group's mean); the FFN matmuls take
+    block-diagonal weights kron(I_R, W) so rows stay independent.
+
+    Fields: vecs/mixw as the plain pack but lane-tiled to [N, 8, R*D];
+    w1 [N, R*D, R*F] / w2 [N, R*F, R*D] block-diagonal (bias NOT folded —
+    at full lanes a plain add is cheap, b1 rides [N, 1, R*F]); avg
+    [R*D, R*D] the block-diagonal ones/D."""
+    base = pack_stage(blocks, dtype=dtype)
+    n, _, d = base["vecs"].shape
+    f = base["w1"].shape[2]
+    eye = jnp.eye(r, dtype=dtype)
+    w1w = base["w1"][:, :d]                       # [N, D, F] weight rows
+    b1 = base["w1"][:, d]                         # [N, F] bias row
+    w1_rl = jax.vmap(lambda w: jnp.kron(eye, w))(w1w)        # [N, RD, RF]
+    w2_rl = jax.vmap(lambda w: jnp.kron(eye, w))(base["w2"])  # [N, RF, RD]
+    tile = lambda v: jnp.tile(v, (1, 1, r))       # [N, 8, D] -> [N, 8, RD]
+    avg = jnp.kron(jnp.eye(r, dtype=jnp.float32),
+                   jnp.full((d, d), 1.0 / d, jnp.float32))
+    # no static ints in the dict: the pack rides jitted params trees where
+    # plain ints become traced leaves — rows/d are derived from shapes
+    return {"vecs": tile(base["vecs"]), "mixw": tile(base["mixw"]),
+            "w1": w1_rl, "b1": jnp.tile(b1[:, None, :], (1, 1, r)),
+            "w2": w2_rl, "avg": avg}
+
+
+def _make_kernel_rowlane(*, n: int, tt: int, rd: int, eps: float):
+    """Stage kernel on the row-lane layout: x [Tt, RD], full-lane VPU ops,
+    group means via the avg matmul, block-diagonal FFN matmuls."""
+    def kernel(vecs_ref, mixw_ref, w1_ref, b1_ref, w2_ref, avg_ref,
+               ctx_in_ref, x_ref, o_ref, ctx_out_ref, carry):
+        it = pl.program_id(1)
+        nt = pl.num_programs(1)
+
+        @pl.when(it == 0)
+        def _load_ctx():
+            carry[:] = ctx_in_ref[0].astype(jnp.float32)  # [N, 8, RD]
+
+        wdt = w1_ref.dtype
+        x = x_ref[0].astype(jnp.float32)  # [Tt, RD]
+        for b in range(n):
+            norm_w = vecs_ref[b, 0]
+            mixer_b = vecs_ref[b, 1]
+            gamma = vecs_ref[b, 2]
+            ffn_norm_w = vecs_ref[b, 3]
+            ffn_gamma = vecs_ref[b, 4]
+            ffn2_b = vecs_ref[b, 5]
+
+            # fp32 RMSNorm: each lane gets its row-group's mean via the
+            # block-diagonal avg matmul (ones/D per group)
+            m = jax.lax.dot_general(x * x, avg_ref[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            h = x * jax.lax.rsqrt(m + eps) * norm_w[None, :]
+            hh = jnp.concatenate([carry[b, :CTX], h], axis=0)  # [Tt+6, RD]
+            carry[b, :CTX] = h[tt - CTX:]
+            mix = jnp.broadcast_to(mixer_b[None, :], (tt, rd))
+            for k in range(7):
+                mix = mix + hh[k:k + tt] * mixw_ref[b, k][None, :]
+            x = x + gamma[None, :] * mix
+
+            m2 = jax.lax.dot_general(x * x, avg_ref[:], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            hn = x * jax.lax.rsqrt(m2 + eps) * ffn_norm_w[None, :]
+            a = jax.lax.dot_general(hn.astype(wdt), w1_ref[b],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            a = a + b1_ref[b, 0][None, :]
+            a = 0.5 * a * (1.0 + _erf(a * 0.7071067811865476))
+            y = jax.lax.dot_general(a.astype(wdt), w2_ref[b],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            x = x + ffn_gamma[None, :] * (y + ffn2_b[None, :])
+
+        o_ref[0] = x.astype(o_ref.dtype)
+
+        @pl.when(it == nt - 1)
+        def _emit_ctx():
+            ctx_out_ref[0] = carry[:].astype(ctx_out_ref.dtype)
+
+    return kernel
+
+
+def rowlane_rows(d: int, bsz: int) -> int:
+    """Largest row-group <= 128/D lanes that divides the batch (1 = layout
+    not applicable)."""
+    cap = max(1, 128 // d)
+    for r in range(min(cap, bsz), 0, -1):
+        if bsz % r == 0:
+            return r
+    return 1
+
+
+def _fused_stage_chain_rowlane(packed, x, ctx, eps, tile_want):
+    rl = packed["rowlane"]
+    d = packed["vecs"].shape[2]
+    rd = rl["vecs"].shape[2]
+    r = rd // d
+    n = rl["vecs"].shape[0]
+    bsz, t, _ = x.shape
+    g = bsz // r
+    tt = _tile(t, tile_want, mult=8)
+    assert t % tt == 0 and tt > CTX
+    nt = t // tt
+
+    # host-side layout transform: rows -> lane groups ([B,T,D] -> [G,T,RD]);
+    # XLA fuses these relayouts with the surrounding HBM reads/writes
+    xr = x.reshape(g, r, t, d).transpose(0, 2, 1, 3).reshape(g, t, rd)
+    cr = (ctx.reshape(g, r, n, CTX, d).transpose(0, 2, 3, 1, 4)
+          .reshape(g, n, CTX, d * r))
+    cr = jnp.pad(cr, ((0, 0), (0, 0), (0, 8 - CTX), (0, 0)))
+
+    kernel = _make_kernel_rowlane(n=n, tt=tt, rd=rd, eps=eps)
+    y, new_ctx = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() == "cpu",
+        grid=(g, nt),
+        in_specs=[
+            pl.BlockSpec((n, 8, rd), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((n, 8, rd), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((n, rd, rl["w1"].shape[2]), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((n, 1, rl["b1"].shape[2]), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((n, rl["w2"].shape[1], rd), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((rd, rd), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, n, 8, rd), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, tt, rd), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tt, rd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n, 8, rd), lambda b, i: (b, 0, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, t, rd), x.dtype),
+            jax.ShapeDtypeStruct((g, n, 8, rd), ctx.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, 8, rd), jnp.float32)],
+    )(rl["vecs"], rl["mixw"], rl["w1"], rl["b1"], rl["w2"], rl["avg"], cr, xr)
+
+    yo = y.reshape(g, t, r, d).transpose(0, 2, 1, 3).reshape(bsz, t, d)
+    co = (new_ctx[:, :, :CTX].reshape(g, n, CTX, r, d).transpose(0, 3, 1, 2, 4)
+          .reshape(bsz, n, CTX, d))
+    return yo, co
+
+
 def _tile(t: int, want: int = 400, mult: int = 1) -> int:
     """Largest tile <= want dividing t and divisible by `mult`.  `mult`
     encodes Mosaic's second-minor-dim constraint (blocks not equal to the
@@ -417,6 +569,14 @@ def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     """
     conv = packed.get("conv") if isinstance(packed, dict) else None
     hp = packed.get("head") if isinstance(packed, dict) else None
+    # row-lane layout (round 5): taken when packed and the batch divides its
+    # row group — covers the no-fold batch path only (folds are B=1 modes).
+    # The row count is static from shapes (RD / D).
+    if (isinstance(packed, dict) and "rowlane" in packed and conv is None
+            and hp is None):
+        rl_r = packed["rowlane"]["vecs"].shape[2] // packed["vecs"].shape[2]
+        if rl_r > 1 and x.shape[0] % rl_r == 0:
+            return _fused_stage_chain_rowlane(packed, x, ctx, eps, tile_want)
     n = packed["vecs"].shape[0]
     d = packed["vecs"].shape[2]
     f = packed["w1"].shape[2]
@@ -539,5 +699,6 @@ def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     return out
 
 
-__all__ = ["fused_stage_chain", "pack_stage", "pack_up_conv", "pack_down_conv",
+__all__ = ["fused_stage_chain", "pack_stage", "pack_stage_rowlane",
+           "rowlane_rows", "pack_up_conv", "pack_down_conv",
            "pack_head", "ConvPack", "HeadPack"]
