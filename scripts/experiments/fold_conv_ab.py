@@ -1,18 +1,7 @@
-"""A/B the lane-packed folded-transition-conv layout (ROUND4_NOTES item 3 /
-VERDICT r4 #1) at the composed serving config, inside ONE process.
-
-Per batch size, measures three engines:
-  fold-off             — transition convs on the XLA path (r4 B>=2 default)
-  fold-pertap          — folded convs as K per-tap dots (r4 B=1 default)
-  fold-lanepacked      — folded convs as ONE [Cin, K*D] matmul + lane slices
-
-If lane packing closes the 10-17% B>=4 folding loss, folding flips positive
-at batch (stage-boundary HBM round trips disappear); at B=1 it should add
-to the existing +3.8% fold win.
-
-Usage: lane_pack_ab.py [batch] [lm_mode] — defaults 4 / auto (int4f at B=1,
-int8 at B>=2); tok is always int4k + fused stages.
-"""
+"""Settle the B=1 transition-conv fold: r4 measured +3.8% for folding, the
+r5 session-2 A/B measured a wash/-0.6% (37.94 off vs 37.70 on, same
+process, fold_head now off in both).  Two interleaved repeats decide the
+default.  Usage: fold_conv_ab.py [batch=1] [lm_mode=auto]."""
 import sys, os, time, json
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax, jax.numpy as jnp
@@ -27,12 +16,11 @@ from vibevoice_tpu.engine import generate as G
 from vibevoice_tpu.models import vibevoice, tokenizer as tokmod
 from vibevoice_tpu.utils.quantize import quantize_model
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 LM_MODE = sys.argv[2] if len(sys.argv) > 2 else ("int4f" if BATCH == 1 else "int8")
 
 cfg = vibevoice_1_5b()
 hop = cfg.speech_compress_ratio
-
 base = jax.jit(lambda k: vibevoice.init_model(k, cfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
 base["speech_scaling_factor"] = jnp.asarray(1.0)
 base["speech_bias_factor"] = jnp.asarray(0.0)
@@ -48,7 +36,7 @@ _ = float(np.asarray(params["speech_scaling_factor"]))
 print(f"# init done (batch={BATCH}, lm={LM_MODE}, tok=int4k+fs)", flush=True)
 
 
-def run(tag, fold, lane):
+def run(tag, fold):
     p = {k: v for k, v in params.items() if not k.endswith("_packs_large")}
     gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                              speech_diffusion_id=151654, eos_id=151643,
@@ -58,7 +46,7 @@ def run(tag, fold, lane):
     eng = G.Engine(p, cfg, gen, max_steps=192, batch=BATCH, prompt_len=64,
                    dtype=jnp.bfloat16, use_fused_vocoder=True,
                    use_fused_semantic=True, use_fused_stages=True,
-                   fused_stage_fold_conv=fold, fused_stage_lane_pack=lane)
+                   fused_stage_fold_conv=fold)
     ids = np.zeros((BATCH, 64), np.int32)
     mask = np.ones((BATCH, 64), np.int32)
     sim = np.zeros((BATCH, 64), bool)
@@ -71,13 +59,10 @@ def run(tag, fold, lane):
     dt = time.perf_counter() - t0
     print(json.dumps({"variant": tag, "batch": BATCH, "lm": LM_MODE,
                       "ms_per_step": round(dt / 64 * 1000, 3),
-                      "audiosec_per_s": round((f1 - f0) * hop / 24000.0 / dt, 2),
                       "rtf_per_stream": round((f1 - f0) * hop / 24000.0 / dt / BATCH, 2)}),
           flush=True)
 
 
-run("fold-off", False, False)
-run("fold-pertap", True, False)
-run("fold-lanepacked", True, True)
-run("fold-lanepacked2", True, True)   # drift guard
-run("fold-off2", False, False)
+for rep in ("", "2", "3"):
+    run(f"fold-on{rep}", True)
+    run(f"fold-off{rep}", False)

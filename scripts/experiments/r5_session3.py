@@ -1,5 +1,7 @@
-"""Round-5 TPU session 2 — lane-packed folded-conv A/B at B=4, B=8, B=1
-(one process; see r5_session1.py for the wedge rationale)."""
+"""Round-5 TPU session 3 — row-lane stage-kernel A/B at B=8/4/2 (int8 LM),
+plus an int4f-LM B=8 check (the r3 "int8 beats int4 at batch" finding
+predates the composed int4k+fs config; int4f halves exactly the FFN reads
+that dominate the 3.26 ms B=8 LM limb)."""
 import gc
 import runpy
 import sys
@@ -21,9 +23,9 @@ def section(name, argv):
     gc.collect()
 
 
-# (historical) lane_pack_ab.py ran here; the lane-packed layout was retired
-# after this session (Mosaic lowering failure + 0.13 ms ceiling) — kept for
-# the record in ROUND5_NOTES.md
-section("fold_conv_ab.py", ["4"])
-section("bf16_tok_probe.py", [])
-print("### session2 complete", flush=True)
+section("rowlane_ab.py", ["8"])
+section("rowlane_ab.py", ["4"])
+section("rowlane_ab.py", ["2"])
+section("rowlane_ab.py", ["8", "int4f"])
+section("fold_conv_ab.py", ["1"])
+print("### session3 complete", flush=True)

@@ -131,14 +131,11 @@ def test_streaming_fused_stages_match_plain(interpret_pallas):
                                    atol=2e-4, rtol=2e-3)
 
 
-@pytest.mark.parametrize("lane_pack", [False, True])
 @pytest.mark.parametrize("s,din,d,t,chunks", [(5, 16, 8, 40, 2), (2, 8, 16, 800, 2)])
-def test_folded_up_conv_matches_plain(interpret_pallas, s, din, d, t, chunks,
-                                      lane_pack):
+def test_folded_up_conv_matches_plain(interpret_pallas, s, din, d, t, chunks):
     """[transposed up conv + stage] folded into one kernel call == the
     separate streaming conv + per-op stage, across chunks (the overlap-add
-    tail round-trips through the ctx slot).  Both weight layouts: per-tap
-    dots and the lane-packed single matmul."""
+    tail round-trips through the ctx slot)."""
     from vibevoice_tpu.ops import conv as C
     cfg = AcousticTokenizerConfig()
     key = jax.random.PRNGKey(3)
@@ -147,8 +144,7 @@ def test_folded_up_conv_matches_plain(interpret_pallas, s, din, d, t, chunks,
     up = {"w": jax.random.normal(jax.random.fold_in(key, 20), (din, 2 * s, d)) * 0.2,
           "b": jax.random.normal(jax.random.fold_in(key, 21), (d,)) * 0.1}
     packed = fs.pack_stage(blocks, dtype=jnp.float32)
-    packed["conv"] = fs.pack_up_conv(up, s, dtype=jnp.float32,
-                                     lane_pack=lane_pack)
+    packed["conv"] = fs.pack_up_conv(up, s, dtype=jnp.float32)
 
     tail_p = C.conv_transpose_state_init(2, d, 2 * s, s).tail
     tail_f = jnp.asarray(tail_p)
@@ -168,13 +164,10 @@ def test_folded_up_conv_matches_plain(interpret_pallas, s, din, d, t, chunks,
                                    atol=2e-4, rtol=2e-3)
 
 
-@pytest.mark.parametrize("lane_pack", [False, True])
 @pytest.mark.parametrize("s,k,cin,d,t", [(1, 7, 1, 8, 40), (2, 4, 4, 8, 800), (4, 8, 8, 16, 200)])
-def test_folded_down_conv_matches_plain(interpret_pallas, s, k, cin, d, t,
-                                        lane_pack):
+def test_folded_down_conv_matches_plain(interpret_pallas, s, k, cin, d, t):
     """[strided down conv + stage] folded == separate streaming conv + per-op
-    stage, across chunks (the conv context buf round-trips the ctx slot).
-    Both weight layouts: per-tap dots and the lane-packed single matmul."""
+    stage, across chunks (the conv context buf round-trips the ctx slot)."""
     from vibevoice_tpu.ops import conv as C
     cfg = AcousticTokenizerConfig()
     key = jax.random.PRNGKey(4)
@@ -183,8 +176,7 @@ def test_folded_down_conv_matches_plain(interpret_pallas, s, k, cin, d, t,
     dp = {"w": jax.random.normal(jax.random.fold_in(key, 20), (k, cin, d)) * 0.2,
           "b": jax.random.normal(jax.random.fold_in(key, 21), (d,)) * 0.1}
     packed = fs.pack_stage(blocks, dtype=jnp.float32)
-    packed["conv"] = fs.pack_down_conv(dp, s, dtype=jnp.float32,
-                                       lane_pack=lane_pack)
+    packed["conv"] = fs.pack_down_conv(dp, s, dtype=jnp.float32)
 
     buf_p = C.conv_state_init(2, cin, k, s).buf
     buf_f = jnp.asarray(buf_p)

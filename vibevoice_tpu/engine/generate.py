@@ -170,7 +170,6 @@ class Engine:
                  fused_stage_tile_semantic: Optional[int] = None,
                  fused_stage_fold_conv: Optional[bool] = None,
                  fused_stage_fold_head: Optional[bool] = None,
-                 fused_stage_lane_pack: Optional[bool] = None,
                  fused_stage_rowlane: Optional[bool] = None,
                  keep_audio: bool = True,
                  kv_dtype: str = "model",
@@ -230,12 +229,6 @@ class Engine:
             # fold stays OFF at every batch; it remains an explicit option.
             if fused_stage_fold_head is None:
                 fused_stage_fold_head = False
-            # lane_pack: folded-conv taps stacked into one [Cin, K*D] matmul
-            # + aligned lane slices instead of K per-tap dots (round 5 —
-            # fills the 128-lane MXU tiles the per-tap dots waste at D<128).
-            # Default off pending the on-chip A/B (lane_pack_ab.py).
-            if fused_stage_lane_pack is None:
-                fused_stage_lane_pack = False
             # rowlane: at batch, fold the rows of the D<128 stages into the
             # LANE dim ([Tt, R*D] activations, block-diagonal FFN weights) so
             # the VPU-bound stage work runs full 128-lane vectors — the r5
@@ -249,13 +242,11 @@ class Engine:
             params["_vocoder_packs_large"] = tokenizer.pack_decoder_stages_large(
                 params["acoustic_decoder"], cfg.acoustic_tokenizer,
                 t_min=fused_stage_t_min, fold_conv=fused_stage_fold_conv,
-                fold_head=fused_stage_fold_head,
-                lane_pack=fused_stage_lane_pack, rowlane_batch=rl_batch)
+                fold_head=fused_stage_fold_head, rowlane_batch=rl_batch)
             params["_semantic_packs_large"] = tokenizer.pack_encoder_stages_large(
                 params["semantic_encoder"], cfg.semantic_tokenizer,
                 chunk_t=cfg.speech_compress_ratio, t_min=fused_stage_t_min,
-                fold_conv=fused_stage_fold_conv,
-                lane_pack=fused_stage_lane_pack, rowlane_batch=rl_batch)
+                fold_conv=fused_stage_fold_conv, rowlane_batch=rl_batch)
         if use_flash_prefill is None:
             # auto: long prompts with TPU-tileable head dim take the Pallas path
             use_flash_prefill = prompt_len >= 1024 and cfg.decoder.head_dim % 128 == 0

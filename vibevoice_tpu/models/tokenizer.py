@@ -399,7 +399,6 @@ def encoder_apply_streaming(params: Params, cfg, x: jnp.ndarray, states):
 def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
                               t_min: int = 128, fold_conv: bool = True,
                               fold_head: bool = True,
-                              lane_pack: bool = False,
                               rowlane_batch: int = 0):
     """Weight packs for the tiled large-T stage kernel (ops/fused_stage.py):
     decoder stages whose per-frame T = prod(ratios[:i]) >= t_min.  These
@@ -437,8 +436,7 @@ def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
             if (fold_conv and i > 0 and not isinstance(up["w"], dict)
                     and up["w"].shape[1] == 2 * strides[i - 1]):
                 packs[i]["conv"] = fs.pack_up_conv(up, strides[i - 1],
-                                                   dtype=dtype,
-                                                   lane_pack=lane_pack)
+                                                   dtype=dtype)
             d_i = params["stages"][i][0]["norm_w"].shape[0]
             r = fs.rowlane_rows(d_i, rowlane_batch) if rowlane_batch else 1
             if r > 1 and "conv" not in packs[i]:
@@ -455,7 +453,6 @@ def pack_decoder_stages_large(params: Params, cfg: AcousticTokenizerConfig,
 
 def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
                               t_min: int = 128, fold_conv: bool = True,
-                              lane_pack: bool = False,
                               rowlane_batch: int = 0):
     """Mirror of `pack_decoder_stages_large` for the semantic re-encode:
     encoder stage i runs at T = chunk_t / prod(strides[:i+1]).  `fold_conv`
@@ -479,8 +476,7 @@ def pack_encoder_stages_large(params: Params, cfg, chunk_t: int,
                                     if not isinstance(dp["w"], dict) else 0)
             if (fold_conv and not isinstance(dp["w"], dict)
                     and (s_i == 1 or k_i == 2 * s_i) and 0 < k_i - s_i <= 8):
-                packs[i]["conv"] = fs.pack_down_conv(dp, s_i, dtype=dtype,
-                                                     lane_pack=lane_pack)
+                packs[i]["conv"] = fs.pack_down_conv(dp, s_i, dtype=dtype)
             d_i = params["stages"][i][0]["norm_w"].shape[0]
             r = fs.rowlane_rows(d_i, rowlane_batch) if rowlane_batch else 1
             if r > 1 and "conv" not in packs[i]:

@@ -63,31 +63,25 @@ class ConvPack:
     leaves are the (w, b) arrays and whose aux data is the static shape info
     — so packs can ride inside jitted params trees.
 
-    Two weight layouts:
-      lane_pack=False — per-tap stack [K, Cin, D]; the kernel runs K
-        sequential dots (each padding D to the 128-lane tile).
-      lane_pack=True  — taps stacked into the LANE dim, [Cin, K*D] with
-        tap-major lanes; ONE dot produces all taps' outputs and aligned lane
-        slices y[:, tap*D:(tap+1)*D] recover them (round-5 layout: at D<128
-        the per-tap dots waste up to 4x of every MXU pass, the packed dot
-        fills the lanes — ROUND4_NOTES item 3)."""
+    Weights are the per-tap stack [K, Cin, D]; the kernel runs K sequential
+    dots.  (A lane-packed single-matmul layout — taps stacked into [Cin,
+    K*D] + lane slices — was built and retired in r5: its sub-tile lane
+    slices fail Mosaic lowering on the real chip, and the composed-B=8
+    attribution caps ALL transition convs at 0.13 ms/batch-step, so there
+    is no prize; see ROUND5_NOTES.md.)"""
 
-    def __init__(self, kind: str, w, b, s: int, k: int, cin: int,
-                 lane_pack: bool = False):
+    def __init__(self, kind: str, w, b, s: int, k: int, cin: int):
         self.kind, self.w, self.b = kind, w, b
         self.s, self.k, self.cin = s, k, cin
-        self.lane_pack = lane_pack
 
     def tree_flatten(self):
-        return (self.w, self.b), (self.kind, self.s, self.k, self.cin,
-                                  self.lane_pack)
+        return (self.w, self.b), (self.kind, self.s, self.k, self.cin)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         kind, s, k, cin = aux[:4]
-        lane_pack = aux[4] if len(aux) > 4 else False
         w, b = children
-        return cls(kind, w, b, s, k, cin, lane_pack)
+        return cls(kind, w, b, s, k, cin)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -242,27 +236,17 @@ def _make_kernel(*, n: int, tt: int, d: int, r: int, eps: float,
         if conv is None:
             x = xin  # [R, Tt, D]
         else:
-            kind, s, k, cin, ctxlen, lane_pack = conv
+            kind, s, k, cin, ctxlen = conv
             wdt = cw_ref.dtype
             if kind == "up":
                 ti = tt // s
                 x2 = xin.reshape(r * ti, cin).astype(wdt)
-                if lane_pack:
-                    # ONE dot over all taps ([R·Ti, Cin] @ [Cin, K·D]);
-                    # aligned lane slices recover tap j's D columns — fills
-                    # the 128-lane MXU tiles the per-tap dots waste at D<128
-                    y = jax.lax.dot_general(x2, cw_ref[:],
-                                            (((1,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32)
-                    tap = [y[:, j * d:(j + 1) * d].reshape(r, ti, 1, d)
-                           for j in range(k)]
-                else:
-                    tap = []
-                    for j in range(k):
-                        yj = jax.lax.dot_general(x2, cw_ref[j],
-                                                 (((1,), (0,)), ((), ())),
-                                                 preferred_element_type=jnp.float32)
-                        tap.append(yj.reshape(r, ti, 1, d))
+                tap = []
+                for j in range(k):
+                    yj = jax.lax.dot_general(x2, cw_ref[j],
+                                             (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
+                    tap.append(yj.reshape(r, ti, 1, d))
                 # taps: out[t = i·s + j] = xin[i] @ W[j] + xin[i-1] @ W[s+j]
                 ya = jnp.concatenate(tap[:s], axis=2)   # [R, Ti, s, D]
                 yb = jnp.concatenate(tap[s:], axis=2)
@@ -277,10 +261,6 @@ def _make_kernel(*, n: int, tt: int, d: int, r: int, eps: float,
                 carry[:, n, :ctxlen, :cin] = full[:, full.shape[1] - ctxlen:]
                 rows = tt * s
                 f2 = full.reshape(r * (ctxlen + rows), cin).astype(wdt)
-                if lane_pack:
-                    yall = jax.lax.dot_general(f2, cw_ref[:],
-                                               (((1,), (0,)), ((), ())),
-                                               preferred_element_type=jnp.float32)
                 z = None
                 # out[t] = Σ_τ full[t·s + τ] @ W[τ]  -> per-tap matmul over
                 # all rows, summed at shifted offsets, then stride-s
@@ -289,12 +269,9 @@ def _make_kernel(*, n: int, tt: int, d: int, r: int, eps: float,
                 # u > rows - s, which the decimation never reads, so they are
                 # padded with zeros.
                 for tau in range(k):
-                    if lane_pack:
-                        yt = yall[:, tau * d:(tau + 1) * d]
-                    else:
-                        yt = jax.lax.dot_general(f2, cw_ref[tau],
-                                                 (((1,), (0,)), ((), ())),
-                                                 preferred_element_type=jnp.float32)
+                    yt = jax.lax.dot_general(f2, cw_ref[tau],
+                                             (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
                     yt = yt.reshape(r, ctxlen + rows, d)[:, tau:tau + rows]
                     short = rows - yt.shape[1]
                     if short > 0:
@@ -505,31 +482,24 @@ def _rows_per_step(bsz: int, tt: int, d: int, f: int,
     return best
 
 
-def pack_up_conv(up: dict, stride: int, dtype=jnp.float32,
-                 lane_pack: bool = False) -> dict:
+def pack_up_conv(up: dict, stride: int, dtype=jnp.float32) -> dict:
     """Transposed-conv pack: weight [Cin, K=2s, Cout] -> per-tap stack
     [K, Cin, Cout] (tap g·s+j maps input frame i to output sample
-    (i+g)·s + j), bias -> [1, Cout].  lane_pack=True instead stores
-    [Cin, K*Cout] with tap-major lanes (one dot for all taps)."""
+    (i+g)·s + j), bias -> [1, Cout]."""
     w = up["w"]
     if isinstance(w, dict):
         raise ValueError("folded transition conv expects plain weights")
     cin, k, cout = w.shape
     assert k == 2 * stride, "transposed conv folding expects k == 2*stride"
     b = up["b"] if up["b"] is not None else jnp.zeros((cout,))
-    wp = (w.reshape(cin, k * cout) if lane_pack
-          else jnp.transpose(w, (1, 0, 2)))
-    return ConvPack("up", wp.astype(dtype),
-                    b.reshape(1, cout).astype(dtype), stride, k, cin,
-                    lane_pack)
+    return ConvPack("up", jnp.transpose(w, (1, 0, 2)).astype(dtype),
+                    b.reshape(1, cout).astype(dtype), stride, k, cin)
 
 
-def pack_down_conv(dp: dict, stride: int, dtype=jnp.float32,
-                   lane_pack: bool = False) -> dict:
+def pack_down_conv(dp: dict, stride: int, dtype=jnp.float32) -> dict:
     """Strided/causal-conv pack: weight kept as the per-tap stack
     [K, Cin, Cout], bias -> [1, Cout].  Supports k == 2·s (stride blocks)
-    and s == 1 (shifted-tap sums, any k).  lane_pack=True stores
-    [Cin, K*Cout] tap-major instead."""
+    and s == 1 (shifted-tap sums, any k)."""
     w = dp["w"]
     if isinstance(w, dict):
         raise ValueError("folded transition conv expects plain weights")
@@ -539,11 +509,8 @@ def pack_down_conv(dp: dict, stride: int, dtype=jnp.float32,
     ctxlen = k - stride  # == causal_pad_amount(k, stride)
     assert 0 < ctxlen <= 8, "conv context must fit the ctx slot"
     b = dp["b"] if dp["b"] is not None else jnp.zeros((cout,))
-    wp = (jnp.transpose(w, (1, 0, 2)).reshape(cin, k * cout) if lane_pack
-          else w)
-    return ConvPack("down", wp.astype(dtype),
-                    b.reshape(1, cout).astype(dtype), stride, k, cin,
-                    lane_pack)
+    return ConvPack("down", w.astype(dtype),
+                    b.reshape(1, cout).astype(dtype), stride, k, cin)
 
 
 def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
@@ -641,9 +608,7 @@ def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     ]
     inputs = [packed["vecs"], packed["mixw"], packed["w1"], packed["w2"]]
     if conv is not None:
-        cw_map = ((lambda b, i: (0, 0)) if conv.w.ndim == 2
-                  else (lambda b, i: (0, 0, 0)))
-        in_specs += [pl.BlockSpec(conv.w.shape, cw_map),
+        in_specs += [pl.BlockSpec(conv.w.shape, lambda b, i: (0, 0, 0)),
                      pl.BlockSpec(conv.b.shape, lambda b, i: (0, 0))]
         inputs += [conv.w, conv.b]
     if hp is not None:
@@ -664,7 +629,7 @@ def fused_stage_chain(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     kernel = _make_kernel(
         n=n, tt=tt, d=d, r=r, eps=eps,
         conv=None if conv is None else (conv.kind, conv.s, conv.k, conv.cin,
-                                        conv.k - conv.s, conv.lane_pack),
+                                        conv.k - conv.s),
         head=None if hp is None else (hp.k, hp.has_norm))
     # the folded-conv/head intermediates exceed Mosaic's default 16 MB
     # scoped-vmem stack at large row groups; v5e VMEM is 128 MB
