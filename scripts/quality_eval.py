@@ -106,6 +106,9 @@ CANDIDATES = {
     # the XLA path's bf16 — recommended serving configs enable it, so the
     # weights-day run certifies it too
     "fs": dict(use_fused_stages=True),
+    # r5 middle mode: token-exact bf16 LM, quantized σ-VAE (21.8 RTF
+    # vs 18 plain bf16 — the exact-LM users' throughput option)
+    "int4k+fs": dict(quantize_tokenizer="int4k", use_fused_stages=True),
     "int8+int4k+fs": dict(quantize="int8", quantize_tokenizer="int4k",
                           use_fused_stages=True),
     "int4f+int4k+fs": dict(quantize="int4f", quantize_tokenizer="int4k",
@@ -151,13 +154,13 @@ LADDER_B1 = ["int4f+int4k+fs+dh4", "int4f+int4k+fs", "int4f+int4k",
              "int4f-g128", "int8+int4k", "int8", "bf16"]
 LADDER_BATCH = ["int8+int4k+fs+dh4", "int8+int4k+fs", "int8+int4k", "int8",
                 "bf16"]  # int8 LM wins at B>=2
-LADDER_TOKENIZER = ["int4k", "tok8", "bf16"]    # σ-VAE quantization alone
+LADDER_TOKENIZER = ["int4k+fs", "int4k", "tok8", "bf16"]  # σ-VAE quant alone
 
 # the weights-day one-command candidate set
 CANONICAL_CANDIDATES = ["int4f+int4k", "int4f-g128+int4k", "int4f",
                         "int4f-g128", "int8+int4k", "int8", "int4k", "tok8",
-                        "fs", "int8+int4k+fs", "int4f+int4k+fs", "dh4",
-                        "int8+int4k+fs+dh4", "int4f+int4k+fs+dh4"]
+                        "fs", "int4k+fs", "int8+int4k+fs", "int4f+int4k+fs",
+                        "dh4", "int8+int4k+fs+dh4", "int4f+int4k+fs+dh4"]
 
 
 def decide(measured, thresholds=None):

@@ -24,7 +24,7 @@ def test_all_pass_recommends_fastest():
     assert all(x["pass"] for x in v["verdicts"].values())
     assert v["recommended"]["B1"] == "int4f+int4k+fs+dh4"
     assert v["recommended"]["B>=2"] == "int8+int4k+fs+dh4"
-    assert v["recommended"]["tokenizer"] == "int4k"
+    assert v["recommended"]["tokenizer"] == "int4k+fs"  # r5: fs wins at every batch
 
 
 def test_int4k_failure_falls_back_down_the_ladder():
