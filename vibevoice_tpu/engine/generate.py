@@ -231,10 +231,13 @@ class Engine:
                 fused_stage_fold_head = False
             # rowlane: at batch, fold the rows of the D<128 stages into the
             # LANE dim ([Tt, R*D] activations, block-diagonal FFN weights) so
-            # the VPU-bound stage work runs full 128-lane vectors — the r5
-            # composed attribution puts 1.07 ms of the 5.38 ms B=8 step in
-            # these kernels vs ~0.14 ms of MXU roofline.  Off by default
-            # pending the on-chip A/B (rowlane_ab.py).
+            # the VPU-bound stage work runs full 128-lane vectors.  Measured
+            # (rowlane_ab.py, r5): a WASH at B=2/4/8 (B=8 trends +0.5-1%,
+            # inside session noise) — the stage-kernel residue is not the
+            # lane-padded elementwise work this layout fixes, or the added
+            # block-diagonal MACs + boundary relayouts eat the win.  Stays
+            # off by default; kept as a parity-tested option for other
+            # topologies/batch shapes.
             if fused_stage_rowlane is None:
                 fused_stage_rowlane = False
             rl_batch = batch if (fused_stage_rowlane and batch > 1) else 0
