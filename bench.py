@@ -168,10 +168,12 @@ def main():
         "vs_baseline": round(rtf, 4),
         "config": "bf16, 5-step sde-dpmsolver++ (reference gradio production config)",
         "opt_in_modes_measured_this_round": {
-            "int8 LM": 26.8,
-            "int4f LM + int4k sigma-VAE + fused stages + folded convs (B=1 best)": 38.4,
-            "int4 LM + int8 sigma-VAE stacks": 33.8,
-            "batch8 int8 LM + int4k + fused stage kernel (tile 200) audio-sec/s": 196.9},
+            "bf16 LM + int4k sigma-VAE + fused stages (token-exact LM)": 21.8,
+            "int4f LM + int4k + fused stages (B=1 best)": 38.4,
+            "batch2 int4f+int4k+fs+rowlane audio-sec/s": 72.3,
+            "batch4 int4f+int4k+fs+rowlane audio-sec/s": 128.3,
+            "batch8 int4f+int4k+fs (tile 200) audio-sec/s": 201.5,
+            "7B int4f+int4k+fs+int8KV full-32K 10-step rtf": 8.71},
         "note": "live measurement; selection path kept live (r1-r3 benches let XLA DCE it)",
         "raw_chunks": chunks,
         "attempt_timeline_s": _timeline(),

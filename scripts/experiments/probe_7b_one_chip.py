@@ -79,7 +79,19 @@ params = jax.jit(lambda k: vibevoice.init_model(k, small_cfg, dtype=jnp.bfloat16
 params["speech_scaling_factor"] = jnp.asarray(1.0)
 params["speech_bias_factor"] = jnp.asarray(0.0)
 params["lm"]["layers"] = layers
-params["diffusion_head"] = jax.jit(quantize_diffusion_head)(params["diffusion_head"])
+if os.environ.get("DH") == "int4k":
+    # per-solver-step head FFNs as ONE fused int4 kernel per step
+    # (ops/fused_head.py) — pack from the RAW head, then drop the now-unused
+    # per-step FFN weights (pipeline.py int4k wiring)
+    from vibevoice_tpu.ops.fused_head import pack_head_solver_q
+    params["_diffusion_head_packq"] = pack_head_solver_q(params["diffusion_head"])
+    headp = dict(params["diffusion_head"])
+    headp["layers"] = [
+        {k: (None if k in ("gate", "up", "down", "gateup") else v)
+         for k, v in lp.items()} for lp in headp["layers"]]
+    params["diffusion_head"] = headp
+else:
+    params["diffusion_head"] = jax.jit(quantize_diffusion_head)(params["diffusion_head"])
 # TOK=int8: quantize the per-frame sigma-VAE stacks too (r3 — halves their
 # per-frame reads AND frees ~0.65 GB of the 16 GB chip).  TOK=int4k: deep
 # stages as int4-weight batched chain kernels (quarter-bf16 reads, one
@@ -137,9 +149,14 @@ import os as _os
 ctx = int(_os.environ.get("CTX", "32768"))
 prompt_len = 2048
 max_steps = ctx - prompt_len
+# STEPS/ALGO: default mirrors the reference CLI (10-step dpmsolver++);
+# STEPS=5 ALGO=sde-dpmsolver++ is the production serving config
+steps = int(_os.environ.get("STEPS", "10"))
+algo = _os.environ.get("ALGO", "dpmsolver++")
 gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          speech_diffusion_id=151654, eos_id=151643,
-                         ddpm_steps=10, force_diffusion=True)
+                         ddpm_steps=steps, algorithm_type=algo,
+                         force_diffusion=True)
 kv_dtype = _os.environ.get("KV", "model")  # KV=int8: quantized KV cache
 if _os.environ.get("FS"):  # FS=1: tiled large-T stage kernels (+auto fold/tile)
     _eng_kw["use_fused_stages"] = True
@@ -167,6 +184,8 @@ state, _ = eng.decode_chunk(state, 16)
 f = int(np.asarray(state.frames).sum())
 dt = time.perf_counter() - t0
 print(json.dumps({"model": f"7B-{W}", "batch": B, "cache": ctx, "kv": kv_dtype,
+                  "steps": steps, "algo": algo,
+                  "dh": _os.environ.get("DH", "int8"),
                   "ms_per_frame": round(dt / 16 * 1000, 2),
                   "audio_sec_per_s": round(16 * B * hop / 24000.0 / dt, 2),
                   "rtf_per_stream": round(16 * hop / 24000.0 / dt, 2),

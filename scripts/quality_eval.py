@@ -152,8 +152,11 @@ THRESHOLDS = {"mel_l2_max": 1.0, "lsd_max_db": 1.0, "snr_min_db": 20.0}
 LADDER_B1 = ["int4f+int4k+fs+dh4", "int4f+int4k+fs", "int4f+int4k",
              "int4f-g128+int4k", "int4f",
              "int4f-g128", "int8+int4k", "int8", "bf16"]
-LADDER_BATCH = ["int8+int4k+fs+dh4", "int8+int4k+fs", "int8+int4k", "int8",
-                "bf16"]  # int8 LM wins at B>=2
+# r5: int4f beats int8 at EVERY measured batch at the composed config
+# (B=2 72.3 / B=4 128.3 / B=8 201.5 vs int8 68.4 / 122.2 / 196.7)
+LADDER_BATCH = ["int4f+int4k+fs+dh4", "int4f+int4k+fs",
+                "int8+int4k+fs+dh4", "int8+int4k+fs", "int8+int4k", "int8",
+                "bf16"]
 LADDER_TOKENIZER = ["int4k+fs", "int4k", "tok8", "bf16"]  # σ-VAE quant alone
 
 # the weights-day one-command candidate set

@@ -23,7 +23,7 @@ def test_all_pass_recommends_fastest():
     v = QE.decide(measured)
     assert all(x["pass"] for x in v["verdicts"].values())
     assert v["recommended"]["B1"] == "int4f+int4k+fs+dh4"
-    assert v["recommended"]["B>=2"] == "int8+int4k+fs+dh4"
+    assert v["recommended"]["B>=2"] == "int4f+int4k+fs+dh4"  # r5: int4f at batch
     assert v["recommended"]["tokenizer"] == "int4k+fs"  # r5: fs wins at every batch
 
 
@@ -59,7 +59,7 @@ def test_dh4_failure_falls_back_to_int8_head():
     v = QE.decide(measured)
     assert not v["verdicts"]["int4f+int4k+fs+dh4"]["pass"]
     assert v["recommended"]["B1"] == "int4f+int4k+fs"
-    assert v["recommended"]["B>=2"] == "int8+int4k+fs"
+    assert v["recommended"]["B>=2"] == "int4f+int4k+fs"
 
 
 def test_everything_fails_reverts_to_exact_bf16():
