@@ -55,7 +55,10 @@ max_steps = 65536 - prompt_len
 gen = G.GenerationConfig(speech_start_id=151652, speech_end_id=151653,
                          speech_diffusion_id=151654, eos_id=151643,
                          cfg_scale=1.3, ddpm_steps=5,
-                         algorithm_type="sde-dpmsolver++", force_diffusion=True)
+                         algorithm_type="sde-dpmsolver++", force_diffusion=True,
+                         # default 2x-prompt per-sample cap would end the run
+                         # at 4096 frames; this run goes to FRAMES
+                         max_length_times=64.0)
 eng = G.Engine(params, cfg, gen, max_steps=max_steps, batch=1,
                prompt_len=prompt_len, dtype=jnp.bfloat16, kv_dtype=KV,
                keep_audio=False)
@@ -83,6 +86,13 @@ while done < FRAMES:
     frames = f1 - f
     f = f1
     done += n
+    if frames == 0:
+        # a step past the per-sample cap is a finished no-op (the r1 bench
+        # bug class) — never time those silently
+        print(json.dumps({"error": "no frames emitted this chunk — per-sample "
+                          "cap hit?", "frames_done": f, "steps_done": done}),
+              flush=True)
+        break
     rec = {"frames_done": f, "live_ctx": prompt_len + done,
            "chunk_ms_per_frame": round(dt / n * 1000, 2),
            "chunk_rtf": round(frames * hop / 24000.0 / dt, 2)}
