@@ -120,6 +120,10 @@ def main():
         speech_start_id=151652, speech_end_id=151653, speech_diffusion_id=151654,
         eos_id=151643, cfg_scale=1.3, ddpm_steps=5,
         algorithm_type="sde-dpmsolver++", force_diffusion=True,
+        # the reference-semantics per-sample cap (2x prompt) would turn the
+        # later timed chunks into finished no-ops at prompt 64 — lift it so
+        # every timed step does real work
+        max_length_times=64.0,
     )
 
     batch, prompt_len, max_steps = 1, 64, 256
@@ -157,8 +161,13 @@ def main():
                        "rtf": round(frames * frame_sec / dt, 4)})
         _mark(f"timed chunk {i}: {chunks[-1]['rtf']} RTF")
 
-    total_frames = sum(c["frames"] for c in chunks)
-    total_dt = sum(c["wall_s"] for c in chunks)
+    # guard against the no-op-step bench bug class (a step at/after the
+    # per-sample cap emits nothing): only full chunks count
+    live = [c for c in chunks if c["frames"] >= n_bench - 1]
+    if not live:
+        raise RuntimeError(f"no live chunks measured: {chunks}")
+    total_frames = sum(c["frames"] for c in live)
+    total_dt = sum(c["wall_s"] for c in live)
     rtf = total_frames * frame_sec / total_dt
 
     rec = {
