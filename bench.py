@@ -182,7 +182,9 @@ def main():
             "batch2 int4f+int4k+fs+rowlane audio-sec/s": 72.3,
             "batch4 int4f+int4k+fs+rowlane audio-sec/s": 128.3,
             "batch8 int4f+int4k+fs (tile 200) audio-sec/s": 201.5,
-            "7B int4f+int4k+fs+int8KV full-32K 10-step rtf": 8.71},
+            "7B int4f+int4k+fs+int8KV full-32K production-5-step rtf": 10.72,
+            "7B same + fused int4 head rtf": 11.84,
+            "continuous 90min single run end-to-end rtf (bf16)": 14.39},
         "note": "live measurement; selection path kept live (r1-r3 benches let XLA DCE it)",
         "raw_chunks": chunks,
         "attempt_timeline_s": _timeline(),
