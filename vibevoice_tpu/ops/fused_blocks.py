@@ -299,9 +299,14 @@ def fused_block_chain_batched(packed, x: jnp.ndarray, ctx: jnp.ndarray,
 
     kernel = functools.partial(_kernel_q, bsz=bsz, t=t, d=d, tile_f=tile_f,
                                eps=eps)
+    # the 4 [B*8, D] fp32 scratches + mixer temps outgrow Mosaic's default
+    # 16 MB scoped-vmem stack around B>=32 at D=2048; v5e VMEM is 128 MB
+    compiler_params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+                       if bsz * t8 * d * 4 * 4 > 6 * 1024 * 1024 else None)
     y, new_ctx = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
+        compiler_params=compiler_params,
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
