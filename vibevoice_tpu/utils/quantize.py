@@ -55,8 +55,12 @@ def mm(x: jnp.ndarray, w) -> jnp.ndarray:
             m = 1
             for d in lead:
                 m *= int(d)
-            if m <= 32:
-                # decode GEMV: fused Pallas dequant-matmul (bandwidth path)
+            if m <= 128:
+                # decode GEMV/skinny-matmul: fused Pallas dequant-matmul
+                # (bandwidth path).  Bound 128 covers 2B rows up to B=64 —
+                # the old m<=32 sent B=32 decode down the materialized-
+                # dequant branch, a measured 4x/step cliff (r5: 30.7 ms/step
+                # vs 13.3 with the kernel -> B=32 hit 315 audio-sec/s)
                 y = int4_matmul(x.reshape(m, k), w["qint4"], w["scale4"])
                 return y.reshape(*lead, y.shape[-1])
             # prefill: weight read amortizes over many tokens — a
