@@ -288,12 +288,14 @@ def test_engine_auto_policies():
     assert not any("head" in p for p in packs8.values())
     e1h = build(1, fused_stage_fold_head=True)
     assert any("head" in p for p in e1h.params["_vocoder_packs_large"].values())
-    # rowlane measured +3-4% at B=2/4 (int4f), wash at B=8/int8 -> auto-on
-    # for 2<=B<=4 only
+    # rowlane measured +3-4% at B=2/4 and +2-4% at B>=32, wash at B=8/16 ->
+    # auto-on at 2<=B<=4 and B>=32
     e4 = build(4)
     assert any("rowlane" in p for p in e4.params["_vocoder_packs_large"].values())
     assert not any("rowlane" in p for p in packs1.values())
     assert not any("rowlane" in p for p in packs8.values())
+    e32 = build(32)
+    assert any("rowlane" in p for p in e32.params["_vocoder_packs_large"].values())
     # explicit override beats the auto policy
     e8f = build(8, fused_stage_fold_conv=True, fused_stage_tile=80)
     assert e8f.fused_stage_tile == 80

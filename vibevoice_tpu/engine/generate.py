@@ -232,12 +232,12 @@ class Engine:
             # rowlane: at batch, fold the rows of the D<128 stages into the
             # LANE dim ([Tt, R*D] activations, block-diagonal FFN weights) so
             # the VPU-bound stage work runs full 128-lane vectors.  Measured
-            # (rowlane_ab.py, r5): +3-4% at B=2/B=4 with the int4f LM
-            # (71.0-72.3 vs 67.9-70.6 at B=2; 127.1-128.3 vs 122.0-123.7 at
-            # B=4), a wash at B=8 and with the int8 LM (never negative beyond
-            # noise) — auto-on where the win is measured, off at B>=8.
+            # (rowlane_ab.py, r5): +3-4% at B=2/B=4 (int4f LM), +2-4% at
+            # B=32/B=64 (both LM modes: 319 vs 311-313 at B=32, 344 vs 330
+            # at B=64 int8), a wash at B=8/B=16 — auto-on where the win is
+            # measured.
             if fused_stage_rowlane is None:
-                fused_stage_rowlane = 2 <= batch <= 4
+                fused_stage_rowlane = 2 <= batch <= 4 or batch >= 32
             rl_batch = batch if (fused_stage_rowlane and batch > 1) else 0
             params = dict(params)
             params["_vocoder_packs_large"] = tokenizer.pack_decoder_stages_large(

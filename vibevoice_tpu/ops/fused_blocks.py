@@ -301,8 +301,12 @@ def fused_block_chain_batched(packed, x: jnp.ndarray, ctx: jnp.ndarray,
                                eps=eps)
     # the 4 [B*8, D] fp32 scratches + mixer temps outgrow Mosaic's default
     # 16 MB scoped-vmem stack around B>=32 at D=2048; v5e VMEM is 128 MB
-    compiler_params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-                       if bsz * t8 * d * 4 * 4 > 6 * 1024 * 1024 else None)
+    need = bsz * t8 * d * 4 * 4
+    compiler_params = None
+    if need > 6 * 1024 * 1024:
+        limit = 96 if need > 40 * 1024 * 1024 else 64
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=limit * 1024 * 1024)
     y, new_ctx = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() == "cpu",
