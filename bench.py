@@ -182,6 +182,7 @@ def main():
             "batch2 int4f+int4k+fs+rowlane audio-sec/s": 72.3,
             "batch4 int4f+int4k+fs+rowlane audio-sec/s": 128.3,
             "batch8 int4f+int4k+fs (tile 200) audio-sec/s": 201.5,
+            "batch64 int8+int4k+fs+rowlane audio-sec/s": 344.3,
             "7B int4f+int4k+fs+int8KV full-32K production-5-step rtf": 10.72,
             "7B same + fused int4 head rtf": 11.84,
             "continuous 90min single run end-to-end rtf (bf16)": 14.39},
