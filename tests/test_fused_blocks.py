@@ -199,3 +199,24 @@ def test_fused_chain_int4_batched_matches_single(interpret_pallas):
                                    atol=1e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(ctx_b[r]), np.asarray(ctx_r),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_fused_chain_int4_batched_row_groups(interpret_pallas, monkeypatch):
+    """Batches beyond one group's VMEM budget split over the leading grid
+    dim (r5 B=128 support) — force tiny groups and check parity."""
+    cfg = AcousticTokenizerConfig()
+    key = jax.random.PRNGKey(6)
+    d, n, t, b = 32, 2, 8, 4
+    blocks = [tok._block_init(k, d, cfg, jnp.float32)
+              for k in jax.random.split(key, n)]
+    x = jax.random.normal(jax.random.fold_in(key, 7), (b, t, d)) * 0.5
+    ctx = jax.random.normal(jax.random.fold_in(key, 8), (b, n, 6, d)) * 0.5
+    packed = fb.pack_stage_q(blocks)
+    y_full, ctx_full = fb.fused_block_chain_batched(packed, x, ctx)
+    # budget of one row-group: rg=1, ng=4
+    monkeypatch.setattr(fb, "_CHAIN_GROUP_BUDGET", 1 * 8 * d * 16)
+    y_g, ctx_g = fb.fused_block_chain_batched(packed, x, ctx)
+    np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_full),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ctx_g), np.asarray(ctx_full),
+                               atol=1e-5, rtol=1e-4)

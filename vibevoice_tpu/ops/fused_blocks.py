@@ -32,6 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 CTX = 6  # depthwise kernel 7 -> 6 context rows
 
+# scratch budget per batched-chain row group (see fused_block_chain_batched)
+_CHAIN_GROUP_BUDGET = 17 * 1024 * 1024
+
 
 def _erf(x):
     """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7); Mosaic has no
@@ -205,14 +208,17 @@ def _kernel_q(vecs_ref, mixw_ref, w1q_ref, sb1_ref, w2q_ref, s2_ref,
               ctx_in_ref, x_ref, o_ref, ctx_out_ref,
               x_scratch, y_scratch, hn_scratch, acc_scratch,
               *, bsz: int, t: int, d: int, tile_f: int, eps: float):
-    """Batched int4 chain kernel: the batch rides INSIDE the kernel rows
-    ([bsz*8, D] scratch), so each int4 weight tile streams from HBM once for
-    ALL batch rows — unlike a vmapped single-row kernel, which re-streams
-    the weights per row (measured 119.7 vs 195.4 audio-sec/s at B=8)."""
-    ib = pl.program_id(0)
-    it = pl.program_id(1)
-    nb = pl.num_programs(0)
-    nt = pl.num_programs(1)
+    """Batched int4 chain kernel: `bsz` batch rows ride INSIDE the kernel
+    rows ([bsz*8, D] scratch), so each int4 weight tile streams from HBM
+    once for ALL of them — unlike a vmapped single-row kernel, which
+    re-streams the weights per row (measured 119.7 vs 195.4 audio-sec/s at
+    B=8).  The grid is (row_groups, block, ffn_tile): batches larger than
+    one group's VMEM budget split over the leading grid dim (weights then
+    stream once per GROUP — B=128 support, r5)."""
+    ib = pl.program_id(1)
+    it = pl.program_id(2)
+    nb = pl.num_programs(1)
+    nt = pl.num_programs(2)
     t8 = 8
 
     @pl.when(it == 0)
@@ -297,11 +303,20 @@ def fused_block_chain_batched(packed, x: jnp.ndarray, ctx: jnp.ndarray,
     x_pad = jnp.pad(x, ((0, 0), (0, t8 - t), (0, 0)))
     ctx_pad = jnp.pad(ctx, ((0, 0), (0, 0), (0, 8 - CTX), (0, 0)))
 
-    kernel = functools.partial(_kernel_q, bsz=bsz, t=t, d=d, tile_f=tile_f,
+    # rows per grid group: keep the 4 [rg*8, D] fp32 scratches (+ ~same again
+    # of mixer/FFN temps) inside the budget — B=64 at D=2048 fits one
+    # group; larger batches split over the leading grid dim (weights stream
+    # once per group, still amortized over rg rows)
+    rg = bsz
+    while rg > 1 and (rg * t8 * d * 16 > _CHAIN_GROUP_BUDGET or bsz % rg):
+        rg -= 1
+    ng = bsz // rg
+
+    kernel = functools.partial(_kernel_q, bsz=rg, t=t, d=d, tile_f=tile_f,
                                eps=eps)
-    # the 4 [B*8, D] fp32 scratches + mixer temps outgrow Mosaic's default
-    # 16 MB scoped-vmem stack around B>=32 at D=2048; v5e VMEM is 128 MB
-    need = bsz * t8 * d * 4 * 4
+    # the scratches outgrow Mosaic's default 16 MB scoped-vmem stack around
+    # rg>=32 at D=2048; v5e VMEM is 128 MB
+    need = rg * t8 * d * 4 * 4
     compiler_params = None
     if need > 6 * 1024 * 1024:
         limit = 96 if need > 40 * 1024 * 1024 else 64
@@ -311,30 +326,30 @@ def fused_block_chain_batched(packed, x: jnp.ndarray, ctx: jnp.ndarray,
         kernel,
         interpret=jax.default_backend() == "cpu",
         compiler_params=compiler_params,
-        grid=(n, nt),
+        grid=(ng, n, nt),
         in_specs=[
-            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
-            pl.BlockSpec((1, 8, d), lambda ib, it: (ib, 0, 0)),
-            pl.BlockSpec((1, d // 2, tile_f), lambda ib, it: (ib, 0, it)),
-            pl.BlockSpec((1, 2, tile_f), lambda ib, it: (ib, 0, it)),
-            pl.BlockSpec((1, tile_f // 2, d), lambda ib, it: (ib, it, 0)),
-            pl.BlockSpec((1, 1, d), lambda ib, it: (ib, 0, 0)),
-            pl.BlockSpec((bsz, 1, 8, d), lambda ib, it: (0, ib, 0, 0)),
-            pl.BlockSpec((bsz, t8, d), lambda ib, it: (0, 0, 0)),
+            pl.BlockSpec((1, 8, d), lambda g, ib, it: (ib, 0, 0)),
+            pl.BlockSpec((1, 8, d), lambda g, ib, it: (ib, 0, 0)),
+            pl.BlockSpec((1, d // 2, tile_f), lambda g, ib, it: (ib, 0, it)),
+            pl.BlockSpec((1, 2, tile_f), lambda g, ib, it: (ib, 0, it)),
+            pl.BlockSpec((1, tile_f // 2, d), lambda g, ib, it: (ib, it, 0)),
+            pl.BlockSpec((1, 1, d), lambda g, ib, it: (ib, 0, 0)),
+            pl.BlockSpec((rg, 1, 8, d), lambda g, ib, it: (g, ib, 0, 0)),
+            pl.BlockSpec((rg, t8, d), lambda g, ib, it: (g, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((bsz, t8, d), lambda ib, it: (0, 0, 0)),
-            pl.BlockSpec((bsz, 1, 8, d), lambda ib, it: (0, ib, 0, 0)),
+            pl.BlockSpec((rg, t8, d), lambda g, ib, it: (g, 0, 0)),
+            pl.BlockSpec((rg, 1, 8, d), lambda g, ib, it: (g, ib, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, t8, d), x.dtype),
             jax.ShapeDtypeStruct((bsz, n, 8, d), ctx.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bsz * t8, d), jnp.float32),
-            pltpu.VMEM((bsz * t8, d), jnp.float32),
-            pltpu.VMEM((bsz * t8, d), jnp.float32),
-            pltpu.VMEM((bsz * t8, d), jnp.float32),
+            pltpu.VMEM((rg * t8, d), jnp.float32),
+            pltpu.VMEM((rg * t8, d), jnp.float32),
+            pltpu.VMEM((rg * t8, d), jnp.float32),
+            pltpu.VMEM((rg * t8, d), jnp.float32),
         ],
     )(packed["vecs"], packed["mixw"], packed["w1q"], packed["sb1"],
       packed["w2q"], packed["s2"], ctx_pad, x_pad)
